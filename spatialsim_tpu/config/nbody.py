@@ -1,0 +1,80 @@
+"""N-body configuration.
+
+Field names and default values follow the reference ``config/nbody.py:57-73``
+(count=150_000, G=0.1, theta=0.8, softening=2.0, damping=1.0,
+spawn_radius=500, distribution="galaxy", max_speed_color=15.0) so presets and
+recordings are interchangeable.  Physics fields are plain Python floats: they
+are baked into the jitted step as compile-time constants, which lets XLA fold
+them (changing them triggers a recompile, matching how the reference re-JITs
+nothing but simply re-reads config at construction time).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class NBodyConfig:
+    """Physics + sizing parameters for one N-body simulation."""
+
+    num_bodies: int = 150_000
+    spawn_radius: float = 500.0
+
+    # Physics (reference config/nbody.py:61-66)
+    G: float = 0.1
+    theta: float = 0.8
+    softening: float = 2.0
+    damping: float = 1.0
+
+    # Initial distribution name (any of spatialsim_tpu.distributions.DISTRIBUTIONS)
+    distribution: str = "galaxy"
+
+    # Rendering / colouring (reference config/nbody.py:71-73)
+    point_size: float = 1.5
+    max_speed_color: float = 15.0
+
+    # --- TPU-native tuning knobs (no reference equivalent) ---
+    # Barnes-Hut engine geometry; see spatialsim_tpu/ops/octree.py.
+    max_depth: int = 10          # octree depth (Morton bits per axis)
+    leaf_size: int = 8           # cells with <= leaf_size bodies are leaves
+    group_size: int = 256        # bodies per traversal group (Morton-contiguous)
+    list_capacity: int = 4096    # far-field interaction list per group
+    near_capacity: int = 2048    # near-field body list per group
+    frontier_capacity: int = 1024  # traversal frontier per group per level
+    # All-pairs vs Barnes-Hut switch (reference picks backends by N at
+    # nbody/gpu_backend.py:618-620; we switch algorithm instead of device).
+    allpairs_threshold: int = 32_768
+
+    # dt cap applied inside the simulation step (reference simulation.py:802).
+    max_dt: float = 0.02
+
+    def replace(self, **kw) -> "NBodyConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Module-dict constants kept for parity with the reference UI layers
+# (reference config/nbody.py:29-55, 75-78).
+WINDOW = {"width": 1280, "height": 720, "title": "N-Body Gravitational Simulation"}
+
+CAMERA = {
+    "fov": 75.0,
+    "near_clip": 0.1,
+    "far_clip": 5000.0,
+    "initial_radius": 800.0,
+    "initial_theta": 45.0,
+    "initial_phi": 35.0,
+    "min_radius": -3000.0,
+    "max_radius": 3000.0,
+    "min_phi": -89.0,
+    "max_phi": 89.0,
+    "keyboard_rotate_speed": 60.0,
+    "keyboard_zoom_speed": 100.0,
+    "mouse_sensitivity": 0.3,
+}
+
+GRID = {"base_size": 1000, "color": (0.08, 0.08, 0.12)}
+
+NBODY = NBodyConfig()
+
+COLORS = {"background": (0.0, 0.0, 0.02, 1.0), "text": (0.7, 0.8, 0.9)}

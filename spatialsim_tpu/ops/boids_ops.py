@@ -1,0 +1,177 @@
+"""Boids flocking kernels — uniform grid hash + fixed-capacity neighbour gather.
+
+TPU-native re-design of the reference's Numba kernels
+(``boids/flock.py:16-308``):
+
+* The reference builds CSR cell lists (``assign_cells`` → host ``argsort`` →
+  ``build_cell_lists``) and then, per boid, walks every member of the 27
+  neighbouring cells with data-dependent loops.
+* Here the grid is a **sort + searchsorted** program: boids are sorted by
+  cell id, each cell's occupants are a contiguous run located with two
+  binary searches, and each boid gathers a *fixed* ``cell_capacity`` window
+  from each neighbour cell.  All shapes are static, so the whole flocking
+  step jits into one XLA program.  Results are exact whenever no cell holds
+  more than ``cell_capacity`` boids (the parity tests run in that regime).
+
+Semantics preserved from the reference:
+  * neighbour predicate ``0.0001 < dist_sq < perception_sq``
+    (``flock.py:150``; the ``> 0.0001`` guard also removes self-pairs),
+  * separation weighting ``(d / |d|) / |d|`` inside ``separation_radius``,
+  * steering = ``normalize(acc) * max_speed - vel`` clamped to ``max_force``
+    then scaled by the behaviour weight (``flock.py:174-238``),
+  * per-axis soft wall springs inside ``wall_margin`` with strength
+    ``min(2*penetration/margin, 1) * wall_force`` (``flock.py:260-281``),
+  * speed clamp then drift, colour blended toward the neighbourhood mean
+    including self (``flock.py:283-308``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def cell_coords(pos, cell_size, grid_dim, offset):
+    """Clamped integer cell coordinates, (3, N) int32 (flock.py:17-27)."""
+    c = jnp.floor((pos + offset) / cell_size).astype(jnp.int32)
+    return jnp.clip(c, 0, grid_dim - 1)
+
+
+def cell_index(pos, cell_size, grid_dim, offset):
+    c = cell_coords(pos, cell_size, grid_dim, offset)
+    return c[0] + c[1] * grid_dim + c[2] * grid_dim * grid_dim
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid_dim", "cell_range", "cell_capacity", "chunk"))
+def flocking_forces(pos, vel, col, *, cell_size, grid_dim, offset,
+                    perception_radius, separation_radius, separation_weight,
+                    alignment_weight, cohesion_weight, max_speed, max_force,
+                    cell_range=1, cell_capacity=16, chunk=4096):
+    """Per-boid steering forces and neighbourhood-average colours.
+
+    Args:
+      pos, vel, col: ``(3, N)`` float32.
+    Returns:
+      (force (3, N), avg_col (3, N)) — force is the summed, weighted
+      separation+alignment+cohesion steering; avg_col is the blend target
+      (equals ``col`` where a boid has no neighbours).
+    """
+    n = pos.shape[1]
+    ids = cell_index(pos, cell_size, grid_dim, offset)
+    order = jnp.argsort(ids)
+    sorted_ids = ids[order]
+
+    coords = cell_coords(pos, cell_size, grid_dim, offset)
+
+    # Static 27-cell (or larger, for cell_range > 1) neighbourhood offsets.
+    r = cell_range
+    span = 2 * r + 1
+    d = jnp.arange(-r, r + 1, dtype=jnp.int32)
+    dxg, dyg, dzg = jnp.meshgrid(d, d, d, indexing="ij")
+    doff = jnp.stack([dxg.ravel(), dyg.ravel(), dzg.ravel()])  # (3, 27)
+    n_cells = span ** 3
+
+    perception_sq = jnp.float32(perception_radius * perception_radius)
+    separation_sq = jnp.float32(separation_radius * separation_radius)
+    cap = cell_capacity
+
+    sorted_pos = pos[:, order]
+    sorted_vel = vel[:, order]
+    sorted_col = col[:, order]
+
+    def one_chunk(start):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, chunk, axis=-1)
+        p_i = sl(pos)                      # (3, C)
+        v_i = sl(vel)
+        c_i = sl(coords)                   # (3, C)
+
+        # Neighbour cell ids for every boid in the chunk: (C, 27).
+        nc = c_i[:, :, None] + doff[:, None, :]            # (3, C, 27)
+        in_range = jnp.all((nc >= 0) & (nc < grid_dim), axis=0)
+        ncell = nc[0] + nc[1] * grid_dim + nc[2] * grid_dim * grid_dim
+
+        starts = jnp.searchsorted(sorted_ids, ncell.ravel(), side="left")
+        ends = jnp.searchsorted(sorted_ids, ncell.ravel(), side="right")
+        starts = starts.reshape(chunk, n_cells)
+        counts = (ends.reshape(chunk, n_cells) - starts)
+
+        # Fixed-capacity gather window per neighbour cell: (C, 27, cap).
+        k = jnp.arange(cap, dtype=jnp.int32)
+        gidx = starts[:, :, None] + k[None, None, :]
+        valid = (k[None, None, :] < counts[:, :, None]) & in_range[:, :, None]
+        gidx = jnp.clip(gidx, 0, n - 1).reshape(chunk, n_cells * cap)
+        valid = valid.reshape(chunk, n_cells * cap)
+
+        p_j = sorted_pos[:, gidx]          # (3, C, M)
+        v_j = sorted_vel[:, gidx]
+        col_j = sorted_col[:, gidx]
+
+        dd = p_i[:, :, None] - p_j         # d = p_i - p_j (flock.py:145-148)
+        dist_sq = jnp.sum(dd * dd, axis=0)
+        is_nb = valid & (dist_sq < perception_sq) & (dist_sq > 0.0001)
+        is_sep = is_nb & (dist_sq < separation_sq)
+
+        inv_dist = jax.lax.rsqrt(jnp.maximum(dist_sq, 1e-12))
+        wsep = jnp.where(is_sep, inv_dist * inv_dist, 0.0)
+        sep = jnp.sum(wsep[None] * dd, axis=2)             # (3, C)
+        sep_count = jnp.sum(is_sep, axis=1)
+
+        nbf = is_nb.astype(jnp.float32)[None]
+        align = jnp.sum(nbf * v_j, axis=2)
+        coh = jnp.sum(nbf * p_j, axis=2)
+        csum = jnp.sum(nbf * col_j, axis=2)
+        nb_count = jnp.sum(is_nb, axis=1)
+
+        def steer(acc, active, weight):
+            mag = jnp.sqrt(jnp.sum(acc * acc, axis=0))
+            unit = acc / jnp.maximum(mag, 1e-12)
+            s = unit * max_speed - v_i
+            smag = jnp.sqrt(jnp.sum(s * s, axis=0))
+            s = jnp.where(smag > max_force, s * (max_force / jnp.maximum(smag, 1e-12)), s)
+            return jnp.where(active & (mag > 0), s * weight, 0.0)
+
+        cnt = jnp.maximum(sep_count, 1).astype(jnp.float32)
+        f_sep = steer(sep / cnt, sep_count > 0, separation_weight)
+        ncnt = jnp.maximum(nb_count, 1).astype(jnp.float32)
+        f_align = steer(align / ncnt, nb_count > 0, alignment_weight)
+        f_coh = steer(coh / ncnt - p_i, nb_count > 0, cohesion_weight)
+
+        c_self = sl(col)
+        avg_col = jnp.where(nb_count > 0,
+                            (csum + c_self) / (ncnt + 1.0), c_self)
+        return f_sep + f_align + f_coh, avg_col
+
+    n_chunks = (n + chunk - 1) // chunk
+    n_pad = n_chunks * chunk
+    if n_pad != n:
+        pad = n_pad - n
+        pos = jnp.pad(pos, ((0, 0), (0, pad)))
+        vel = jnp.pad(vel, ((0, 0), (0, pad)))
+        col = jnp.pad(col, ((0, 0), (0, pad)))
+        coords = jnp.pad(coords, ((0, 0), (0, pad)))
+
+    starts = jnp.arange(n_chunks) * chunk
+    forces, avg_cols = jax.lax.map(one_chunk, starts)      # (n_chunks, 3, C)
+    force = jnp.moveaxis(forces, 0, 1).reshape(3, n_pad)[:, :n]
+    avg_col = jnp.moveaxis(avg_cols, 0, 1).reshape(3, n_pad)[:, :n]
+    return force, avg_col
+
+
+def boids_physics(pos, vel, col, force, avg_col, *, bounds, margin,
+                  wall_force, max_speed, color_blend, dt):
+    """Wall springs, integrate, speed clamp, colour blend (flock.py:241-308)."""
+    over = pos - (bounds - margin)
+    under = (-bounds + margin) - pos
+    wall = (-jnp.minimum(over / margin * 2.0, 1.0) * (over > 0)
+            + jnp.minimum(under / margin * 2.0, 1.0) * (under > 0)) * wall_force
+    acc = force + wall
+    vel = vel + acc * dt
+    speed = jnp.sqrt(jnp.sum(vel * vel, axis=0, keepdims=True))
+    vel = jnp.where(speed > max_speed, vel * (max_speed / jnp.maximum(speed, 1e-12)), vel)
+    pos = pos + vel * dt
+    col = col + (avg_col - col) * color_blend
+    return pos, vel, col

@@ -1,0 +1,24 @@
+"""Test environment: hermetic 8-virtual-device CPU mesh.
+
+The reference has no tests at all (SURVEY.md §4); this suite is new.  Tests
+run on the CPU backend with 8 simulated devices so sharding tests exercise
+real multi-device programs without a TPU pod — the TPU analogue of
+"multi-node testing without a cluster".  Benchmarks (bench.py) run on the
+real chip instead.
+"""
+
+import os
+
+# Must be set before jax initializes.
+os.environ.setdefault("XLA_FLAGS",
+                      os.environ.get("XLA_FLAGS", "")
+                      + " --xla_force_host_platform_device_count=8")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
