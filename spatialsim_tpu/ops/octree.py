@@ -1,0 +1,153 @@
+"""Linear octree built bottom-up from Morton-sorted bodies.
+
+TPU-native replacement for the reference's sequential-insert builders
+(``nbody/simulation.py:63-198`` — one body at a time into a pointer tree —
+and the packed variant ``nbody/metal/metal_backend.py:66-217``).  Sequential
+insertion is inherently serial; here the whole tree is built with sorts,
+cumulative sums and segment reductions, all of which XLA parallelizes:
+
+1. Bodies are Morton-sorted (:mod:`spatialsim_tpu.ops.morton`), so the
+   bodies of any octree cell at any level form one contiguous run.
+2. The deepest level's cells are the unique Morton codes; run boundaries
+   (``code[i] != code[i-1]``) give each body a dense cell rank, and
+   segment-sums produce mass / mass-weighted-position / count per cell.
+3. Each coarser level pools its children with the same trick on
+   ``code >> 3`` — a hierarchical (pairwise-like) summation that is also
+   numerically friendlier than the reference's running COM average
+   (``simulation.py:160-167``).
+
+Everything is fixed-capacity: level ``d`` holds ``min(8^d, N)`` slots,
+empty slots carry the sentinel code ``INT32_MAX`` and zero mass, so the
+whole build jits with static shapes.
+
+Semantics preserved from the reference:
+  * node mass = Σ body masses, COM = mass-weighted mean (``:160-167``);
+  * dyadic cell geometry from the recursive octant split (``:52-60``);
+  * cells exist only where bodies are (compacted, like the insert tree).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+SENTINEL = jnp.iinfo(jnp.int32).max
+
+
+class OctreeLevel(NamedTuple):
+    """Compacted cells of one octree level, sorted by Morton code.
+
+    All arrays have static length ``capacity(level)``; entries past
+    ``n_cells`` are empty (code == SENTINEL, mass == 0, count == 0).
+    """
+
+    code: jax.Array         # (C,) int32 Morton prefix of the cell
+    mass: jax.Array         # (C,) f32 total mass
+    com: jax.Array          # (3, C) f32 center of mass
+    count: jax.Array        # (C,) int32 number of bodies
+    body_start: jax.Array   # (C,) int32 first body (into the sorted order)
+    child_start: jax.Array  # (C,) int32 first child slot in the next level
+    child_count: jax.Array  # (C,) int32 number of children (0 at max depth)
+    n_cells: jax.Array      # () int32 number of occupied slots
+
+
+class Octree(NamedTuple):
+    levels: List[OctreeLevel]   # index 0 = coarsest built level
+    start_level: int            # tree depth of levels[0]
+    max_depth: int              # tree depth of levels[-1]
+    half: jax.Array             # () f32 root half-extent
+
+
+def level_capacity(level: int, n: int) -> int:
+    """Static slot count for one level: can't exceed 8^level or N."""
+    return int(min(8 ** level, n))
+
+
+def _ranks(codes):
+    """Dense segment ids from sorted codes: 0,0,1,2,2,2,... plus count."""
+    flags = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (codes[1:] != codes[:-1]).astype(jnp.int32)])
+    rank = jnp.cumsum(flags) - 1
+    return rank, rank[-1] + 1
+
+
+def _segment(data, seg, num):
+    return jax.ops.segment_sum(data, seg, num_segments=num)
+
+
+def _scatter_min(init_val, size, seg, values):
+    return jnp.full((size,), init_val, values.dtype).at[seg].min(values)
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth", "start_level", "n"))
+def build_octree(sorted_codes, sorted_pos, sorted_mass, half, *,
+                 max_depth, start_level=2, n=None):
+    """Build all levels from Morton-sorted bodies.
+
+    Args:
+      sorted_codes: ``(N,)`` int32 Morton codes, ascending.
+      sorted_pos: ``(3, N)`` f32 positions in the same order.
+      sorted_mass: ``(N,)`` f32 masses (padding bodies carry mass 0).
+      half: scalar root half-extent.
+      max_depth: static octree depth (= Morton bits per axis).
+      start_level: static coarsest level to materialize (the traversal's
+        initial frontier is every cell of this level).
+
+    Returns:
+      :class:`Octree` with ``max_depth - start_level + 1`` levels.
+    """
+    if n is None:
+        n = sorted_codes.shape[0]
+
+    # --- deepest level from bodies ---
+    seg, n_cells = _ranks(sorted_codes)
+    cap = level_capacity(max_depth, n)
+    mass = _segment(sorted_mass, seg, cap)
+    wpos = _segment((sorted_pos * sorted_mass[None, :]).T, seg, cap).T
+    count = _segment(jnp.ones_like(seg), seg, cap)
+    code = _scatter_min(SENTINEL, cap, seg, sorted_codes)
+    body_start = _scatter_min(
+        n, cap, seg, jnp.arange(n, dtype=jnp.int32))
+    com = wpos / jnp.maximum(mass, 1e-30)[None, :]
+    deepest = OctreeLevel(
+        code=code, mass=mass, com=com, count=count, body_start=body_start,
+        child_start=jnp.zeros((cap,), jnp.int32),
+        child_count=jnp.zeros((cap,), jnp.int32), n_cells=n_cells)
+
+    # --- pool upward ---
+    levels = [deepest]
+    child = deepest
+    for level in range(max_depth - 1, start_level - 1, -1):
+        ccap = child.code.shape[0]
+        pcap = level_capacity(level, n)
+        parent_code = jnp.where(child.code == SENTINEL, SENTINEL,
+                                child.code >> 3)
+        pseg, pn = _ranks(parent_code)
+        # Empty child slots all share the SENTINEL "segment"; kick them out
+        # of range so segment ops drop them (and fix the occupied count).
+        invalid = child.code == SENTINEL
+        pseg = jnp.where(invalid, pcap, pseg)
+        pn = pn - jnp.any(invalid).astype(jnp.int32)
+
+        pmass = _segment(child.mass, pseg, pcap)
+        pwpos = _segment((child.com * child.mass[None, :]).T, pseg, pcap).T
+        pcount = _segment(child.count, pseg, pcap)
+        pcode = _scatter_min(SENTINEL, pcap, pseg, parent_code)
+        pbody = _scatter_min(n, pcap, pseg, child.body_start)
+        cstart = _scatter_min(ccap, pcap, pseg,
+                              jnp.arange(ccap, dtype=jnp.int32))
+        ccount = _segment(jnp.ones_like(pseg), pseg, pcap)
+        pcom = pwpos / jnp.maximum(pmass, 1e-30)[None, :]
+        parent = OctreeLevel(
+            code=pcode, mass=pmass, com=pcom, count=pcount, body_start=pbody,
+            child_start=cstart, child_count=ccount, n_cells=pn)
+        levels.append(parent)
+        child = parent
+
+    levels.reverse()
+    return Octree(levels=levels, start_level=start_level,
+                  max_depth=max_depth, half=jnp.asarray(half, jnp.float32))

@@ -9,11 +9,17 @@ real chip instead.
 
 import os
 
-# Must be set before jax initializes.
-os.environ.setdefault("XLA_FLAGS",
-                      os.environ.get("XLA_FLAGS", "")
-                      + " --xla_force_host_platform_device_count=8")
+# Must be set before the backend initializes.  NOTE: this image pre-imports
+# jax from sitecustomize with JAX_PLATFORMS=axon (the TPU tunnel), so the
+# env var alone is too late — jax.config.update below is what actually
+# forces the hermetic CPU backend for tests.
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
