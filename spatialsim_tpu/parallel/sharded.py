@@ -1,0 +1,219 @@
+"""Sharded force engines + multi-device step.
+
+Bodies are sharded over the mesh's ``bodies`` axis (`(3, N)` arrays shard
+along axis 1).  Two force engines:
+
+* :func:`ring_allpairs_accel` — the sharded O(N²) path.  Each device keeps
+  its i-block resident and ring-rotates the j-blocks with ``lax.ppermute``
+  (one hop per step, D steps total), accumulating partial forces.  This is
+  exactly the blockwise pattern of the reference's tiled CUDA/MPS kernels
+  (``nbody/gpu_backend.py:179-240,457-501``) lifted from shared-memory
+  tiles to ICI neighbours — SURVEY.md §2's "ring attention with gravity in
+  place of softmax".
+* :func:`sharded_barnes_hut_accel` — the sharded O(N log N) path.  Device
+  d ``all_gather``s positions+masses, builds the (replicated) octree, but
+  traverses only its own slice of Morton groups — the traversal dominates
+  the cost, so work parallelizes over devices even though the build is
+  replicated.  A final ``all_gather`` of sorted accelerations lets every
+  device pick up its own bodies' results.
+
+Determinism: both engines use fixed reduction orders (scan over ring hops;
+segment-sums over a deterministic sort), so 1-chip and D-chip runs agree to
+float32 tolerance (tested in tests/test_sharded.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from spatialsim_tpu.parallel.mesh import BODY_AXIS
+from spatialsim_tpu.ops.bounds import compute_bounds
+from spatialsim_tpu.ops.morton import morton_encode
+from spatialsim_tpu.ops.octree import build_octree
+from spatialsim_tpu.ops.integrator import integrate
+from spatialsim_tpu.ops import barnes_hut as bh
+
+
+def shard_state(state, mesh: Mesh):
+    """Place a NBodyState pytree with bodies sharded over the mesh."""
+    sh2 = NamedSharding(mesh, P(None, BODY_AXIS))
+    sh1 = NamedSharding(mesh, P(BODY_AXIS))
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(
+            a, sh2 if a.ndim == 2 else sh1), state)
+
+
+def _partial_accel(pos_i, pos_j, mass_j, G, soft_sq):
+    """Forces of one j-block on the local i-block ((3,ni) x (3,nj))."""
+    d = pos_j[:, None, :] - pos_i[:, :, None]
+    dist_sq = jnp.sum(d * d, axis=0) + soft_sq
+    inv = jax.lax.rsqrt(dist_sq)
+    w = jnp.where(dist_sq > soft_sq, (G * mass_j)[None, :] * inv * inv * inv,
+                  0.0)
+    return jnp.sum(w[None, :, :] * d, axis=2)
+
+
+def ring_allpairs_accel(pos, mass, mesh: Mesh, G, softening):
+    """All-pairs accelerations with a ppermute ring over the bodies axis.
+
+    Args:
+      pos: ``(3, N)`` sharded along axis 1 (N divisible by mesh size).
+      mass: ``(N,)`` sharded.
+    Returns:
+      ``(3, N)`` accelerations with the same sharding.
+    """
+    G = float(G)
+    soft_sq = float(softening) ** 2
+    axis = BODY_AXIS
+    ndev = mesh.shape[axis]
+
+    def local(pos_l, mass_l):
+        perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+
+        def hop(carry, _):
+            acc, pj, mj = carry
+            acc = acc + _partial_accel(pos_l, pj, mj, G, soft_sq)
+            pj = jax.lax.ppermute(pj, axis, perm)
+            mj = jax.lax.ppermute(mj, axis, perm)
+            return (acc, pj, mj), None
+
+        init = (jnp.zeros_like(pos_l), pos_l, mass_l)
+        (acc, _, _), _ = jax.lax.scan(hop, init, None, length=ndev)
+        return acc
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis), P(axis)),
+        out_specs=P(None, axis))(pos, mass)
+
+
+def sharded_barnes_hut_accel(pos, mass, mesh: Mesh, config):
+    """Barnes-Hut with replicated tree + device-local group traversal."""
+    axis = BODY_AXIS
+    ndev = mesh.shape[axis]
+    n = pos.shape[1]
+    gsz = config.group_size
+    theta = float(config.theta)
+    G = float(config.G)
+    soft_sq = float(config.softening) ** 2
+    depth = config.max_depth
+    leaf = config.leaf_size
+    fcap = config.frontier_capacity
+    nran = config.near_capacity // config.leaf_size
+
+    # Static sizing: npad groups split evenly across devices.
+    npad = ((n + gsz - 1) // gsz) * gsz
+    n_groups = npad // gsz
+    if n_groups % ndev != 0:
+        # Round groups up to a device multiple; extra groups are all-padding.
+        n_groups = ((n_groups + ndev - 1) // ndev) * ndev
+        npad = n_groups * gsz
+    groups_per_dev = n_groups // ndev
+
+    def local(pos_l, mass_l):
+        dev = jax.lax.axis_index(axis)
+        # Replicate the body set; every device sees the same global sort.
+        pos_f = jax.lax.all_gather(pos_l, axis, axis=1, tiled=True)
+        mass_f = jax.lax.all_gather(mass_l, axis, tiled=True)
+
+        half = compute_bounds(pos_f)
+        codes = morton_encode(pos_f, half, depth)
+        order = jnp.argsort(codes)
+        pad = npad - n
+        s_codes = jnp.concatenate(
+            [codes[order], jnp.broadcast_to(codes[order[-1]], (pad,))])
+        s_pos = jnp.concatenate(
+            [pos_f[:, order],
+             jnp.broadcast_to(pos_f[:, order[-1]][:, None], (3, pad))],
+            axis=1)
+        s_mass = jnp.concatenate([mass_f[order], jnp.zeros((pad,))])
+
+        tree = build_octree(s_codes, s_pos, s_mass, half, max_depth=depth,
+                            start_level=2, n=npad)
+
+        # This device's contiguous slice of Morton groups.
+        g0 = dev * groups_per_dev * gsz
+        my_pos = jax.lax.dynamic_slice_in_dim(
+            s_pos, g0, groups_per_dev * gsz, axis=1)
+        gp = my_pos.reshape(3, groups_per_dev, gsz)
+        gm = jax.lax.dynamic_slice_in_dim(
+            s_mass, g0, groups_per_dev * gsz).reshape(groups_per_dev, gsz)
+        bmin = jnp.min(gp, axis=2).T
+        bmax = jnp.max(gp, axis=2).T
+
+        traverse = functools.partial(
+            bh._traverse_group, tree=tree, sorted_pos=s_pos,
+            sorted_mass=s_mass, theta=theta, G=G, soft_sq=soft_sq,
+            leaf_size=leaf, frontier_cap=fcap, near_ranges=nran, n=npad)
+        acc_l = jax.vmap(traverse)(
+            jnp.moveaxis(gp, 1, 0), gm, bmin, bmax)     # (gpd, 3, gsz)
+        acc_l = jnp.moveaxis(acc_l, 0, 1).reshape(3, groups_per_dev * gsz)
+
+        # Collect the full sorted acceleration, then pick out the original-
+        # order slice this device owns.
+        acc_sorted = jax.lax.all_gather(acc_l, axis, axis=1, tiled=True)
+        inv = jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32))
+        nl = n // ndev
+        my_orig = jax.lax.dynamic_slice_in_dim(inv, dev * nl, nl)
+        return acc_sorted[:, my_orig]
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis), P(axis)),
+        out_specs=P(None, axis))(pos, mass)
+
+
+def make_sharded_step(config, n: int, mesh: Mesh, substeps: int = 1,
+                      engine: Optional[str] = None):
+    """Jitted sharded step: (state, dt) -> state, bodies sharded over mesh.
+
+    ``engine``: "allpairs" (ring) or "barnes_hut"; default picks by
+    ``config.allpairs_threshold`` like the single-chip model
+    (mirroring the reference's backend thresholds,
+    ``nbody/gpu_backend.py:615-679``).
+    """
+    if n % mesh.shape[BODY_AXIS] != 0:
+        raise ValueError("num_bodies must divide evenly across devices")
+    if engine is None:
+        engine = ("allpairs" if n <= config.allpairs_threshold
+                  else "barnes_hut")
+
+    if engine == "allpairs":
+        def accel(state):
+            return ring_allpairs_accel(state.pos, state.mass, mesh,
+                                       config.G, config.softening)
+    elif engine == "barnes_hut":
+        def accel(state):
+            return sharded_barnes_hut_accel(state.pos, state.mass, mesh,
+                                            config)
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+
+    damping = config.damping
+
+    def step(state, dt):
+        def body(s, _):
+            acc = accel(s)
+            pos, vel = integrate(s.pos, s.vel, acc, dt, damping)
+            return type(s)(pos, vel, s.mass), None
+        state, _ = jax.lax.scan(body, state, None, length=substeps)
+        return state
+
+    from spatialsim_tpu.models.nbody import NBodyState
+    sh2 = NamedSharding(mesh, P(None, BODY_AXIS))
+    sh1 = NamedSharding(mesh, P(BODY_AXIS))
+    state_sh = NBodyState(pos=sh2, vel=sh2, mass=sh1)
+    return jax.jit(step, donate_argnums=(0,),
+                   in_shardings=(state_sh, None),
+                   out_shardings=state_sh)

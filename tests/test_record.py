@@ -1,0 +1,88 @@
+"""Recorder integration: record → interrupt → resume → extend → decode.
+
+The reference validates this only by use; here it's the SURVEY.md §4
+integration suite over a TINY-preset-sized config.
+"""
+
+import numpy as np
+import pytest
+
+from spatialsim_tpu.io import codec, session
+from spatialsim_tpu.tools import record as record_tool
+
+
+def tiny_config(**overrides):
+    cfg = {
+        "session_name": "t_session",
+        "name": "Test", "description": "", "category": "TINY",
+        "num_bodies": 300, "theta": 0.9, "G": 0.2, "softening": 5.0,
+        "damping": 1.0, "spawn_radius": 200.0, "distribution": "galaxy",
+        "total_frames": 6, "dt_per_frame": 0.1, "substeps": 2,
+        "target_fps": 30, "estimated_time": "~0s", "seed": 3,
+    }
+    cfg.update(overrides)
+    return cfg
+
+
+@pytest.fixture
+def rec_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPATIALSIM_RECORDINGS", str(tmp_path))
+    return tmp_path
+
+
+def test_record_full_session(rec_env):
+    cfg = tiny_config()
+    record_tool.record(cfg)
+    rec_dir = rec_env / "t_session"
+    assert session.get_completed_frames(rec_dir) == 6
+    meta = session.load_metadata(rec_dir)
+    assert meta["num_bodies"] == 300
+    # All frames decodable, finite, right shape.
+    prev = (None, None)
+    for k in range(6):
+        p, c = codec.load_frame(rec_dir, k, *prev)
+        assert p.shape == (300, 3) and c.shape == (300, 3)
+        assert np.isfinite(p).all()
+        assert (c >= 0).all() and (c <= 1).all()
+        prev = (p, c)
+
+
+def test_record_resume_matches_uninterrupted(rec_env):
+    # Uninterrupted run (60 frames so a checkpoint lands at frame 49).
+    cfg_a = tiny_config(session_name="full", total_frames=60)
+    record_tool.record(cfg_a)
+    # Interrupted run: stop after 52 frames, then resume from state_0049.
+    cfg_b = tiny_config(session_name="split", total_frames=52)
+    record_tool.record(cfg_b)
+    meta = session.load_metadata(rec_env / "split")
+    meta["total_frames"] = 60
+    session.save_metadata(rec_env / "split", meta, meta["start_time"])
+    record_tool.record(meta, resume=True)
+
+    pa = ca = pb = cb = None
+    for k in range(60):
+        pa, ca = codec.load_frame(rec_env / "full", k, pa, ca)
+        pb, cb = codec.load_frame(rec_env / "split", k, pb, cb)
+    # Resumed trajectory equals the uninterrupted one (same jitted program,
+    # same checkpointed state) up to codec quantization accumulation.
+    np.testing.assert_allclose(pa, pb, atol=5e-3)
+
+
+def test_extend_session(rec_env):
+    cfg = tiny_config(session_name="ext", total_frames=6)
+    record_tool.record(cfg)
+    meta = record_tool.extend_session("ext", 4)
+    assert meta["total_frames"] == 10
+    record_tool.record(meta, resume=True)
+    assert session.get_completed_frames(rec_env / "ext") == 10
+
+
+def test_cli_status_and_presets(rec_env, capsys):
+    record_tool.record(tiny_config(session_name="s1"))
+    assert record_tool.main(["--status"]) == 0
+    out = capsys.readouterr().out
+    assert "s1" in out
+    assert record_tool.main(["--list-presets"]) == 0
+    out = capsys.readouterr().out
+    assert "bar_galaxy" not in out  # menu shows display names
+    assert "Barred Spiral Galaxy" in out

@@ -1,0 +1,88 @@
+"""Multi-chip-without-a-pod: 8 virtual CPU devices (SURVEY.md §4).
+
+Property under test: the sharded program equals the unsharded one —
+the TPU analogue of multi-node determinism testing.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spatialsim_tpu import distributions
+from spatialsim_tpu.config.nbody import NBodyConfig
+from spatialsim_tpu.models.nbody import NBodyState, make_step_fn
+from spatialsim_tpu.ops.allpairs import allpairs_accel_reference
+from spatialsim_tpu.parallel import (
+    make_mesh, make_sharded_step, ring_allpairs_accel,
+    sharded_barnes_hut_accel, shard_state)
+
+
+requires_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _state(n, seed=0, dist="galaxy"):
+    p, v, m = distributions.generate_distribution(dist, n, 200.0, 0.1,
+                                                  seed=seed)
+    return NBodyState(jnp.asarray(p.T, jnp.float32),
+                      jnp.asarray(v.T, jnp.float32),
+                      jnp.asarray(m, jnp.float32))
+
+
+@requires_8
+def test_ring_allpairs_matches_reference():
+    st = _state(1024)
+    mesh = make_mesh(8)
+    acc = ring_allpairs_accel(st.pos, st.mass, mesh, 0.1, 2.0)
+    exact = allpairs_accel_reference(st.pos, st.mass, 0.1, 2.0)
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(exact),
+                               rtol=2e-4, atol=2e-5)
+
+
+@requires_8
+def test_sharded_bh_matches_single_chip():
+    cfg = NBodyConfig(theta=0.7, G=0.1, softening=2.0, max_depth=7,
+                      group_size=64, frontier_capacity=512,
+                      near_capacity=2048, leaf_size=8)
+    st = _state(2048, seed=2)
+    mesh = make_mesh(8)
+    from spatialsim_tpu.ops.barnes_hut import barnes_hut_accel
+    single = barnes_hut_accel(st.pos, st.mass, cfg)
+    sharded = sharded_barnes_hut_accel(st.pos, st.mass, mesh, cfg)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=2e-4, atol=1e-5)
+
+
+@requires_8
+@pytest.mark.parametrize("engine", ["allpairs", "barnes_hut"])
+def test_sharded_step_equals_unsharded(engine):
+    cfg = NBodyConfig(theta=0.8, G=0.1, softening=2.0, damping=1.0,
+                      max_depth=7, group_size=64, frontier_capacity=512,
+                      near_capacity=2048, leaf_size=8,
+                      allpairs_threshold=100_000 if engine == "allpairs"
+                      else 0)
+    n = 1024
+    mesh = make_mesh(8)
+    st = _state(n, seed=4)
+
+    unsharded = make_step_fn(cfg, n, substeps=2)
+    ref = unsharded(jax.tree_util.tree_map(jnp.copy, st), jnp.float32(0.05))
+
+    sstep = make_sharded_step(cfg, n, mesh, substeps=2, engine=engine)
+    out = sstep(shard_state(st, mesh), jnp.float32(0.05))
+
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.vel), np.asarray(ref.vel),
+                               rtol=2e-4, atol=2e-4)
+
+
+@requires_8
+def test_sharded_step_preserves_sharding():
+    cfg = NBodyConfig(allpairs_threshold=10_000)
+    mesh = make_mesh(8)
+    st = shard_state(_state(1024), mesh)
+    sstep = make_sharded_step(cfg, 1024, mesh, substeps=1)
+    out = sstep(st, jnp.float32(0.01))
+    assert out.pos.sharding.spec == jax.sharding.PartitionSpec(None, "bodies")
