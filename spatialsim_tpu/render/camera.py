@@ -19,6 +19,33 @@ import math
 import numpy as np
 
 
+def perspective_matrix(fov_deg, aspect, near, far):
+    """Column-major GL projection matrix (replaces gluPerspective — GLU is
+    absent on headless images)."""
+    f = 1.0 / math.tan(math.radians(fov_deg) / 2.0)
+    m = np.zeros((4, 4), np.float32)
+    m[0, 0] = f / aspect
+    m[1, 1] = f
+    m[2, 2] = (far + near) / (near - far)
+    m[2, 3] = (2.0 * far * near) / (near - far)
+    m[3, 2] = -1.0
+    return m.T.copy()  # GL expects column-major
+
+
+def lookat_matrix(eye, target=(0.0, 0.0, 0.0), up=(0.0, 1.0, 0.0)):
+    """Column-major GL modelview matrix (replaces gluLookAt)."""
+    right, true_up, fwd = camera_basis(eye, target, up)
+    m = np.eye(4, dtype=np.float32)
+    m[0, :3] = right
+    m[1, :3] = true_up
+    m[2, :3] = -fwd
+    eye = np.asarray(eye, np.float64)
+    m[0, 3] = -right @ eye
+    m[1, 3] = -true_up @ eye
+    m[2, 3] = fwd @ eye
+    return m.T.copy()
+
+
 def camera_basis(eye, target=(0.0, 0.0, 0.0), up=(0.0, 1.0, 0.0)):
     """Right/up/forward unit vectors of a look-at camera."""
     eye = np.asarray(eye, np.float64)

@@ -164,20 +164,20 @@ def interactive_playback(name: str, fps: float = 60.0, speed: float = 1.0,
                                KEYDOWN)
     from OpenGL.GL import (
         glClear, glClearColor, glEnable, glBlendFunc, glMatrixMode,
-        glLoadIdentity, glEnableClientState, glDisableClientState,
+        glLoadMatrixf, glEnableClientState, glDisableClientState,
         glVertexPointer, glColorPointer, glDrawArrays, glPointSize,
         GL_COLOR_BUFFER_BIT, GL_DEPTH_BUFFER_BIT, GL_BLEND, GL_SRC_ALPHA,
         GL_ONE, GL_PROJECTION, GL_MODELVIEW, GL_VERTEX_ARRAY,
         GL_COLOR_ARRAY, GL_FLOAT, GL_POINTS)
-    from OpenGL.GLU import gluPerspective, gluLookAt
+    from spatialsim_tpu.render.camera import (lookat_matrix,
+                                              perspective_matrix)
 
     pygame.init()
     w, h = 1280, 720
     pygame.display.set_mode((w, h), DOUBLEBUF | OPENGL)
     pygame.display.set_caption(f"Playback: {name}")
     glMatrixMode(GL_PROJECTION)
-    glLoadIdentity()
-    gluPerspective(75.0, w / h, 0.1, 5000.0)
+    glLoadMatrixf(perspective_matrix(75.0, w / h, 0.1, 5000.0))
     glMatrixMode(GL_MODELVIEW)
     glEnable(GL_BLEND)
     glBlendFunc(GL_SRC_ALPHA, GL_ONE)
@@ -224,10 +224,7 @@ def interactive_playback(name: str, fps: float = 60.0, speed: float = 1.0,
         pos, col = src.get(int(playhead))
 
         glClear(GL_COLOR_BUFFER_BIT | GL_DEPTH_BUFFER_BIT)
-        glLoadIdentity()
-        eye = cam.get_position()
-        up = cam.get_up()
-        gluLookAt(eye[0], eye[1], eye[2], 0, 0, 0, up[0], up[1], up[2])
+        glLoadMatrixf(lookat_matrix(cam.get_position(), up=cam.get_up()))
         glEnableClientState(GL_VERTEX_ARRAY)
         glEnableClientState(GL_COLOR_ARRAY)
         glVertexPointer(3, GL_FLOAT, 0, np.ascontiguousarray(pos))
