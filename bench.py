@@ -30,14 +30,23 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--bodies", type=int, default=1_000_000)
     p.add_argument("--theta", type=float, default=0.8)
-    p.add_argument("--steps", type=int, default=20)
-    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--steps", type=int, default=60)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--chain", type=int, default=20,
+                   help="physics steps per device dispatch")
     p.add_argument("--distribution", default="galaxy")
-    p.add_argument("--engine", choices=["auto", "allpairs", "barnes_hut"],
-                   default="barnes_hut")
+    p.add_argument("--engine",
+                   choices=["auto", "allpairs", "exact", "window"],
+                   default="window")
+    p.add_argument("--group-size", type=int, default=512)
+    p.add_argument("--list-cap", type=int, default=4096)
+    p.add_argument("--skin", type=float, default=8.0)
+    p.add_argument("--rebuild-interval", type=int, default=20)
+    p.add_argument("--drift-mode", choices=["max", "off"], default="off")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
+    import numpy as np
     import jax
     import jax.numpy as jnp
     from spatialsim_tpu.config.nbody import NBodyConfig
@@ -45,41 +54,53 @@ def main(argv=None) -> int:
     from spatialsim_tpu import distributions
 
     n = args.bodies
-    thr = 0 if args.engine == "barnes_hut" else (
-        1 << 62 if args.engine == "allpairs" else 32_768)
+    engine = args.engine if args.engine != "auto" else (
+        "allpairs" if n <= 32_768 else "window")
     cfg = NBodyConfig(num_bodies=n, theta=args.theta, G=0.1, softening=2.0,
                       damping=1.0, spawn_radius=500.0,
-                      distribution=args.distribution,
-                      allpairs_threshold=thr)
+                      distribution=args.distribution, engine=engine,
+                      group_size=args.group_size,
+                      list_capacity=args.list_cap, skin=args.skin,
+                      rebuild_interval=args.rebuild_interval,
+                      rebuild_drift_mode=args.drift_mode)
 
     if args.verbose:
         print(f"[bench] platform={jax.devices()[0].platform} n={n:,} "
-              f"theta={args.theta} engine={args.engine}", file=sys.stderr)
+              f"theta={args.theta} engine={engine}", file=sys.stderr)
 
     pos, vel, mass = distributions.generate_distribution(
         args.distribution, n, cfg.spawn_radius, cfg.G, seed=0)
-    state = NBodyState(pos=jnp.asarray(pos.T, jnp.float32),
-                       vel=jnp.asarray(vel.T, jnp.float32),
-                       mass=jnp.asarray(mass, jnp.float32))
-    step = make_step_fn(cfg, n, substeps=1)
+    pos = jnp.asarray(pos.T, jnp.float32)
+    vel = jnp.asarray(vel.T, jnp.float32)
+    mass = jnp.asarray(mass, jnp.float32)
+    # Sustained throughput: `chain` physics steps run inside one device
+    # dispatch (lax.scan), as the recorder does per frame — this measures
+    # true device step rate including periodic list rebuilds, not the
+    # ~30 ms per-dispatch tunnel latency.
+    chain = args.chain
+    step = make_step_fn(cfg, n, substeps=chain, engine=engine)
+    if engine == "window":
+        from spatialsim_tpu.ops.bh_window import init_window_state
+        state = init_window_state(pos, vel, mass, cfg)
+    else:
+        state = NBodyState(pos=pos, vel=vel, mass=mass)
     dt = jnp.float32(0.02)
 
     t0 = time.time()
     for _ in range(args.warmup):
         state = step(state, dt)
-    jax.block_until_ready(state.pos)
+        _ = np.asarray(state.pos[0, :1])  # force full sync (axon-safe)
     if args.verbose:
         print(f"[bench] warmup+compile {time.time() - t0:.1f}s",
               file=sys.stderr)
 
-    # Block every step: the axon remote platform's block_until_ready on a
-    # queued-but-undispatched chain can return early, so chained timing
-    # under-reports; per-step blocking adds only dispatch latency.
+    dispatches = max(1, args.steps // chain)
     t0 = time.time()
-    for _ in range(args.steps):
+    for _ in range(dispatches):
         state = step(state, dt)
-        jax.block_until_ready(state.pos)
+        _ = np.asarray(state.pos[0, :1])
     elapsed = time.time() - t0
+    args.steps = dispatches * chain
 
     steps_per_sec = args.steps / elapsed
     baseline = reference_steps_per_sec(n, args.theta)

@@ -46,6 +46,20 @@ class NBodyConfig:
     # nbody/gpu_backend.py:618-620; we switch algorithm instead of device).
     allpairs_threshold: int = 32_768
 
+    # Production engine (ops/bh_window.py): amortized interaction lists.
+    #   engine: "auto" (windowed above allpairs_threshold), "exact"
+    #   (per-step reference-parity traversal), "window" (amortized).
+    engine: str = "auto"
+    window_groups: int = 3       # Morton window half-width, in groups
+    skin: float = 4.0            # Verlet-list acceptance dilation
+    rebuild_interval: int = 16   # max steps between list rebuilds
+    # Drift rebuild policy: "max" rebuilds when ANY body moves > skin/2
+    # since the last build (strict Verlet safety — one fast core body can
+    # force very frequent rebuilds); "off" relies on rebuild_interval
+    # alone (frozen entries still advance ballistically; error is
+    # second-order in interval, validated in tests/test_bh_window.py).
+    rebuild_drift_mode: str = "max"
+
     # dt cap applied inside the simulation step (reference simulation.py:802).
     max_dt: float = 0.02
 

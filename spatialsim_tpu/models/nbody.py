@@ -38,13 +38,26 @@ class NBodyState(NamedTuple):
     mass: jax.Array
 
 
-def make_accel_fn(config: NBodyConfig, n: int):
+def resolve_engine(config: NBodyConfig, n: int) -> str:
     """Pick the force engine for a given body count.
 
     Mirrors the reference's threshold-based backend factory
-    (``nbody/gpu_backend.py:615-679``) with algorithms instead of devices.
+    (``nbody/gpu_backend.py:615-679``) with algorithms instead of devices:
+    tiled all-pairs below the threshold, the amortized windowed Barnes-Hut
+    (ops/bh_window.py) above it.  ``engine="exact"`` forces the per-step
+    reference-parity traversal.
     """
-    if n <= config.allpairs_threshold:
+    if config.engine != "auto":
+        return config.engine
+    return "allpairs" if n <= config.allpairs_threshold else "window"
+
+
+def make_accel_fn(config: NBodyConfig, n: int, engine: str = None):
+    engine = engine or resolve_engine(config, n)
+    if engine == "window":
+        raise ValueError("the window engine is stateful; use "
+                         "make_window_step (models handle this)")
+    if engine == "allpairs":
         def accel(state: NBodyState):
             return allpairs_accel(state.pos, state.mass, config.G,
                                   config.softening)
@@ -55,14 +68,21 @@ def make_accel_fn(config: NBodyConfig, n: int):
     return accel
 
 
-def make_step_fn(config: NBodyConfig, n: int, substeps: int = 1):
+def make_step_fn(config: NBodyConfig, n: int, substeps: int = 1,
+                 engine: str = None):
     """Build a jitted multi-substep step: state, dt -> state.
 
     ``dt`` is the *per-substep* timestep (the recorder divides
     ``dt_per_frame`` by ``substeps``; reference ``tools/record.py:749``).
     The substep loop is a ``lax.scan`` so one dispatch covers a whole frame.
+    For the windowed production engine the returned step takes/returns a
+    ``WindowBHState`` instead (same pos/vel/mass leaves plus the lists).
     """
-    accel_fn = make_accel_fn(config, n)
+    engine = engine or resolve_engine(config, n)
+    if engine == "window":
+        from spatialsim_tpu.ops.bh_window import make_window_step
+        return make_window_step(config, n, substeps)
+    accel_fn = make_accel_fn(config, n, engine)
     damping = config.damping
 
     def step(state: NBodyState, dt):
@@ -97,15 +117,9 @@ class NBodySimulation:
         pos, vel, mass = distributions.generate_distribution(
             self.config.distribution, self.num_bodies,
             self.config.spawn_radius, self.config.G, seed=seed)
-        self.state = NBodyState(
-            pos=jnp.asarray(pos.T, jnp.float32),
-            vel=jnp.asarray(vel.T, jnp.float32),
-            mass=jnp.asarray(mass, jnp.float32),
-        )
-        self._step = make_step_fn(self.config, self.num_bodies, substeps)
-        self._colors = jax.jit(functools.partial(
-            colors_by_velocity, max_speed=self.config.max_speed_color))
-        self._color_cache = None
+        self._init_state(jnp.asarray(pos.T, jnp.float32),
+                         jnp.asarray(vel.T, jnp.float32),
+                         jnp.asarray(mass, jnp.float32))
 
     @classmethod
     def from_state(cls, positions, velocities, masses=None,
@@ -118,16 +132,24 @@ class NBodySimulation:
         sim.substeps = substeps
         if masses is None:
             masses = np.ones(n)
-        sim.state = NBodyState(
-            pos=jnp.asarray(np.asarray(positions).T, jnp.float32),
-            vel=jnp.asarray(np.asarray(velocities).T, jnp.float32),
-            mass=jnp.asarray(masses, jnp.float32),
-        )
-        sim._step = make_step_fn(sim.config, n, substeps)
-        sim._colors = jax.jit(functools.partial(
-            colors_by_velocity, max_speed=sim.config.max_speed_color))
-        sim._color_cache = None
+        sim._init_state(jnp.asarray(np.asarray(positions).T, jnp.float32),
+                        jnp.asarray(np.asarray(velocities).T, jnp.float32),
+                        jnp.asarray(masses, jnp.float32))
         return sim
+
+    def _init_state(self, pos, vel, mass):
+        """Build engine-appropriate device state + jitted step."""
+        self.engine = resolve_engine(self.config, self.num_bodies)
+        if self.engine == "window":
+            from spatialsim_tpu.ops.bh_window import init_window_state
+            self.state = init_window_state(pos, vel, mass, self.config)
+        else:
+            self.state = NBodyState(pos=pos, vel=vel, mass=mass)
+        self._step = make_step_fn(self.config, self.num_bodies,
+                                  self.substeps, self.engine)
+        self._colors = jax.jit(functools.partial(
+            colors_by_velocity, max_speed=self.config.max_speed_color))
+        self._color_cache = None
 
     def update(self, dt: float):
         """Advance one frame (dt capped at max_dt per the reference's

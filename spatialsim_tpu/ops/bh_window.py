@@ -1,0 +1,405 @@
+"""Production Barnes-Hut engine: amortized lists + dense per-step eval.
+
+Motivation (measured on the target chip): XLA scatter/gather costs ~6 ns
+per element and per-dispatch latency is ~30 ms, so any per-step algorithm
+with tens of millions of bookkeeping elements is memory-bound long before
+the force FLOPs matter.  This engine moves ALL data-dependent bookkeeping
+into a periodic REBUILD and makes the per-step work purely dense:
+
+* **Rebuild** (every ``rebuild_interval`` steps, or sooner if any body
+  drifts more than ``skin/2`` since the last build — the Verlet-list
+  criterion): Morton-sort, build the octree, and run the group traversal
+  once, emitting per-group **far lists**.  Acceptance uses the group AABB
+  dilated by ``skin``, so every list remains at least as accurate as the
+  reference's per-body ``s/d < θ`` (``nbody/simulation.py:256-258``) until
+  drift forces the next rebuild.
+* **Far field**: each accepted cell is frozen as ``(com₀, v₀, mass)``
+  with ``v₀`` the mass-weighted mean velocity; between rebuilds the entry
+  advances as ``com₀ + v₀·τ`` — first-order exact, second-order error in
+  the rebuild interval.  Per-step far evaluation reads only dense
+  ``(groups, L, 8)`` tensors: no gathers, no scatters.
+* **Near field**: every group interacts exactly (softened direct sum)
+  with the Morton **window** of ``2·window_groups+1`` neighbouring groups
+  — pure shifted slices of the sorted state.  The traversal drops cells
+  wholly inside the window and never θ-accepts cells that straddle its
+  boundary (it keeps opening them; at max depth the out-of-window slivers
+  are emitted as clipped-range monopoles), so nothing is double counted.
+* All pairwise math is evaluated in **group-centred coordinates** so the
+  MXU-friendly ``|a|² + |b|² − 2a·b`` distance form does not lose
+  precision to f32 cancellation at large world coordinates.
+
+The exact engine (:mod:`spatialsim_tpu.ops.barnes_hut`) remains the
+reference-parity path; this one trades bounded, skin-controlled staleness
+for an order-of-magnitude step-rate improvement.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from spatialsim_tpu.ops.bounds import compute_bounds
+from spatialsim_tpu.ops.morton import morton_encode
+from spatialsim_tpu.ops.octree import build_octree
+from spatialsim_tpu.ops.integrator import integrate
+
+
+class BHLists(NamedTuple):
+    """Amortized interaction structure (all shapes static)."""
+
+    order: jax.Array        # (Npad,) int32 sort permutation (pad: last body)
+    inv_order: jax.Array    # (N,) int32 original index -> sorted slot
+    far: jax.Array          # (ng, L, 8) f32 [com0 xyz, v0 xyz, mass, 0]
+    ref_pos: jax.Array      # (3, N) positions at build (drift detection)
+    steps_since: jax.Array  # () int32 steps since build
+
+
+def _exclusive_cumsum(x):
+    return jnp.cumsum(x) - x
+
+
+# ---------------------------------------------------------------------------
+# Rebuild: traversal emitting clipped far ranges
+# ---------------------------------------------------------------------------
+
+def _traverse_emit(gidx, bbox_min, bbox_max, tree, *, theta, soft_sq,
+                   skin, gsz, window_groups, list_cap, n_levels,
+                   frontier_cap):
+    """One group's traversal -> far body-ranges [s, e), window-clipped."""
+    F = frontier_cap
+    lo = (gidx - window_groups) * gsz
+    hi = (gidx + window_groups + 1) * gsz
+
+    levels = tree.levels
+    c0 = levels[0].code.shape[0]
+    init = jnp.arange(F, dtype=jnp.int32)
+    frontier = jnp.where(init < jnp.minimum(c0, levels[0].n_cells), init, -1)
+
+    far_start = jnp.zeros((list_cap,), jnp.int32)
+    far_end = jnp.zeros((list_cap,), jnp.int32)
+    far_n = jnp.int32(0)
+    theta_sq = theta * theta
+
+    bbox_min = bbox_min - skin
+    bbox_max = bbox_max + skin
+
+    def emit(mask, s, e, far_start, far_end, far_n):
+        """Append window-clipped parts of ranges [s, e) for masked cells."""
+        parts = [(s, jnp.minimum(e, lo)), (jnp.maximum(s, hi), e)]
+        for ps, pe in parts:
+            take = mask & (pe > ps)
+            pos = far_n + _exclusive_cumsum(take.astype(jnp.int32))
+            slot = jnp.where(take & (pos < list_cap), pos, list_cap)
+            far_start = far_start.at[slot].set(ps, mode="drop")
+            far_end = far_end.at[slot].set(pe, mode="drop")
+            far_n = jnp.minimum(
+                far_n + jnp.sum(take.astype(jnp.int32)), list_cap)
+        return far_start, far_end, far_n
+
+    for li in range(n_levels):
+        lv = levels[li]
+        level = tree.start_level + li
+        side = 2.0 * tree.half / (2 ** level)
+        last = li == n_levels - 1
+
+        valid = frontier >= 0
+        idx = jnp.clip(frontier, 0, lv.code.shape[0] - 1)
+        ccom = lv.com[:, idx]
+        ccount = jnp.where(valid, lv.count[idx], 0)
+        cstart = jnp.where(valid, lv.body_start[idx], 0)
+        cend = cstart + ccount
+
+        in_window = valid & (cstart >= lo) & (cend <= hi)
+        straddle = valid & ~in_window & (cstart < hi) & (cend > lo)
+        outside = valid & ~in_window & ~straddle
+
+        gap = jnp.maximum(bbox_min[:, None] - ccom, ccom - bbox_max[:, None])
+        gap = jnp.maximum(gap, 0.0)
+        dmin_sq = jnp.sum(gap * gap, axis=0) + soft_sq
+        theta_ok = side * side < theta_sq * dmin_sq
+
+        # Emit: θ-accepted wholly-outside cells; ≤1-body cells (their
+        # clipped monopole is the exact body or empty); at the last level
+        # everything still open (graceful monopole, incl. straddle slivers).
+        accept = outside & (theta_ok | (ccount <= 1))
+        accept = accept | (valid & ~in_window & ~accept & (ccount <= 1))
+        if last:
+            emit_mask = accept | (valid & ~in_window & ~accept)
+            open_ = jnp.zeros_like(valid)
+        else:
+            emit_mask = accept
+            open_ = valid & ~in_window & ~accept & (ccount > 1)
+
+        far_start, far_end, far_n = emit(
+            emit_mask, cstart, cend, far_start, far_end, far_n)
+
+        if not last:
+            cc = jnp.where(open_, lv.child_count[idx], 0)
+            offs = _exclusive_cumsum(cc)
+            ovf = open_ & (offs + cc > F)
+            # Frontier overflow degrades to the parent's clipped monopole.
+            far_start, far_end, far_n = emit(
+                ovf, cstart, cend, far_start, far_end, far_n)
+            open_ = open_ & ~ovf
+            cc = jnp.where(open_, cc, 0)
+            offs = _exclusive_cumsum(cc)
+            cs = jnp.where(open_, lv.child_start[idx], 0)
+            j = jnp.arange(8, dtype=jnp.int32)
+            cand = (cs[:, None] + j[None, :]).reshape(-1)
+            tpos = (offs[:, None] + j[None, :]).reshape(-1)
+            cvalid = (j[None, :] < cc[:, None]).reshape(-1)
+            tpos = jnp.where(cvalid, tpos, F)
+            frontier = jnp.full((F,), -1, jnp.int32).at[tpos].set(
+                cand, mode="drop")
+
+    return far_start, far_end, far_n
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("theta", "softening", "skin", "max_depth", "group_size",
+                     "window_groups", "list_cap", "group_chunk",
+                     "frontier_cap"))
+def build_lists(pos, vel, mass, *, theta, softening, skin=4.0, max_depth=10,
+                group_size=256, window_groups=3, list_cap=2048,
+                group_chunk=128, frontier_cap=512):
+    """Morton-sort + octree + traversal -> :class:`BHLists`."""
+    n = pos.shape[1]
+    gsz = group_size
+    half = compute_bounds(pos)
+    codes = morton_encode(pos, half, max_depth)
+    order = jnp.argsort(codes).astype(jnp.int32)
+
+    npad = ((n + gsz - 1) // gsz) * gsz
+    pad = npad - n
+    order_pad = jnp.concatenate(
+        [order, jnp.broadcast_to(order[-1], (pad,))])
+    s_codes = jnp.concatenate(
+        [codes[order], jnp.broadcast_to(codes[order[-1]], (pad,))])
+    s_pos = pos[:, order_pad]
+    pad_mask = jnp.arange(npad) >= n
+    s_mass = jnp.where(pad_mask, 0.0, mass[order_pad])
+    s_vel = vel[:, order_pad]
+
+    tree = build_octree(s_codes, s_pos, s_mass, half, max_depth=max_depth,
+                        start_level=2, n=npad)
+    n_levels = len(tree.levels)
+
+    ng = npad // gsz
+    gpos = s_pos.reshape(3, ng, gsz)
+    bbox_min = jnp.min(gpos, axis=2).T
+    bbox_max = jnp.max(gpos, axis=2).T
+
+    emit = functools.partial(
+        _traverse_emit, tree=tree, theta=float(theta),
+        soft_sq=float(softening) ** 2, skin=float(skin), gsz=gsz,
+        window_groups=window_groups, list_cap=list_cap, n_levels=n_levels,
+        frontier_cap=frontier_cap)
+    vemit = jax.vmap(emit)
+
+    chunk = min(group_chunk, ng)
+    if ng % chunk != 0:
+        chunk = ng
+    gi = jnp.arange(ng, dtype=jnp.int32).reshape(ng // chunk, chunk)
+    bmin = bbox_min.reshape(ng // chunk, chunk, 3)
+    bmax = bbox_max.reshape(ng // chunk, chunk, 3)
+    fs, fe, fn = jax.lax.map(lambda a: vemit(*a), (gi, bmin, bmax))
+    far_start = fs.reshape(ng, list_cap)
+    far_end = fe.reshape(ng, list_cap)
+    far_n = fn.reshape(ng)
+
+    # Frozen moments from prefix sums over the sorted bodies:
+    # mass, mass·pos, mass·vel — exclusive prefixes of length npad+1.
+    w = s_mass[None, :]
+    pref = jnp.concatenate([
+        jnp.zeros((7, 1), jnp.float32),
+        jnp.cumsum(jnp.concatenate([s_mass[None, :], s_pos * w, s_vel * w],
+                                   axis=0), axis=1)], axis=1)   # (7, npad+1)
+    seg = pref[:, far_end] - pref[:, far_start]                 # (7, ng, L)
+    valid = (jnp.arange(list_cap)[None, :] < far_n[:, None])
+    m = jnp.where(valid, seg[0], 0.0)
+    inv_m = jnp.where(m > 0, 1.0 / jnp.maximum(m, 1e-30), 0.0)
+    far = jnp.stack([
+        seg[1] * inv_m, seg[2] * inv_m, seg[3] * inv_m,      # com0
+        seg[4] * inv_m, seg[5] * inv_m, seg[6] * inv_m,      # v0
+        m, jnp.zeros_like(m)], axis=-1)                      # (ng, L, 8)
+
+    inv_order = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return BHLists(order=order_pad, inv_order=inv_order,
+                   far=far.astype(jnp.float32), ref_pos=pos,
+                   steps_since=jnp.int32(0))
+
+
+# ---------------------------------------------------------------------------
+# Per-step dense evaluation
+# ---------------------------------------------------------------------------
+
+def _window_sources(s_pos, s_mass, ng, gsz, window_groups):
+    """Window sources per group via shifted slices (no gathers).
+
+    Returns (ng, 3, W) positions and (ng, W) masses, W=(2·wg+1)·gsz.
+    """
+    wg = window_groups
+    ppos = jnp.pad(s_pos, ((0, 0), (wg * gsz, wg * gsz)))
+    pmass = jnp.pad(s_mass, ((wg * gsz, wg * gsz),))
+    npts = ng * gsz
+    pos_shifts = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(ppos, k * gsz, npts, axis=1)
+        .reshape(3, ng, gsz)
+        for k in range(2 * wg + 1)], axis=2)            # (3, ng, S, gsz)
+    mass_shifts = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(pmass, k * gsz, npts)
+        .reshape(ng, gsz)
+        for k in range(2 * wg + 1)], axis=1)            # (ng, S, gsz)
+    W = (2 * wg + 1) * gsz
+    return (pos_shifts.transpose(1, 0, 2, 3).reshape(ng, 3, W),
+            mass_shifts.reshape(ng, W))
+
+
+def _dense_accel(gpos, src_pos, src_mass, G, soft_sq):
+    """Batched (ng, gsz) × (ng, S) monopole forces, MXU cross terms.
+
+    Inputs must already be group-centred (see eval_accel) so the
+    ``|a|²+|b|²−2a·b`` form is numerically safe in f32.
+    """
+    pi_sq = jnp.sum(gpos * gpos, axis=1)                  # (ng, gsz)
+    ps_sq = jnp.sum(src_pos * src_pos, axis=1)            # (ng, S)
+    cross = jax.lax.dot_general(
+        gpos, src_pos, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)               # (ng, gsz, S)
+    dist_sq = pi_sq[:, :, None] + ps_sq[:, None, :] - 2.0 * cross + soft_sq
+    dist_sq = jnp.maximum(dist_sq, soft_sq)
+    inv = jax.lax.rsqrt(dist_sq)
+    w = jnp.where(dist_sq > soft_sq,
+                  (G * src_mass)[:, None, :] * inv * inv * inv, 0.0)
+    wp = jax.lax.dot_general(
+        w, src_pos, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)               # (ng, gsz, 3)
+    wsum = jnp.sum(w, axis=2)                             # (ng, gsz)
+    return wp.transpose(0, 2, 1) - gpos * wsum[:, None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "window_groups",
+                                             "G", "softening", "chunk"))
+def eval_accel(lists: BHLists, pos, mass, dt, *, G, softening,
+               group_size=256, window_groups=3, chunk=64):
+    """Accelerations from the amortized lists at the current positions."""
+    n = pos.shape[1]
+    gsz = group_size
+    npad = lists.order.shape[0]
+    ng = npad // gsz
+    soft_sq = float(softening) ** 2
+    Gf = float(G)
+
+    s_pos = pos[:, lists.order]
+    pad_mask = jnp.arange(npad) >= n
+    s_mass = jnp.where(pad_mask, 0.0, mass[lists.order])
+
+    gpos = jnp.moveaxis(s_pos.reshape(3, ng, gsz), 1, 0)      # (ng, 3, gsz)
+    center = jnp.mean(gpos, axis=2, keepdims=True)            # (ng, 3, 1)
+    gpos_c = gpos - center
+
+    tau = lists.steps_since.astype(jnp.float32) * dt
+    far = lists.far
+    far_pos = (far[..., 0:3] + far[..., 3:6] * tau).transpose(0, 2, 1)
+    far_pos_c = far_pos - center
+    far_mass = far[..., 6]                                    # (ng, L)
+
+    src_pos, src_mass = _window_sources(s_pos, s_mass, ng, gsz,
+                                        window_groups)
+    src_pos_c = src_pos - center
+
+    def chunk_eval(args):
+        gp, fp, fm, sp, sm = args
+        return (_dense_accel(gp, fp, fm, Gf, soft_sq)
+                + _dense_accel(gp, sp, sm, Gf, soft_sq))
+
+    c = min(chunk, ng)
+    if ng % c != 0:
+        c = ng
+    parts = (gpos_c.reshape(ng // c, c, 3, gsz),
+             far_pos_c.reshape(ng // c, c, 3, -1),
+             far_mass.reshape(ng // c, c, -1),
+             src_pos_c.reshape(ng // c, c, 3, -1),
+             src_mass.reshape(ng // c, c, -1))
+    acc = jax.lax.map(chunk_eval, parts).reshape(ng, 3, gsz)
+
+    acc_sorted = jnp.moveaxis(acc, 0, 1).reshape(3, npad)
+    return acc_sorted[:, lists.inv_order]
+
+
+# ---------------------------------------------------------------------------
+# Stepper with rebuild policy
+# ---------------------------------------------------------------------------
+
+class WindowBHState(NamedTuple):
+    pos: jax.Array
+    vel: jax.Array
+    mass: jax.Array
+    lists: BHLists
+
+
+def _build_kw(config):
+    return dict(theta=config.theta, softening=config.softening,
+                skin=config.skin, max_depth=config.max_depth,
+                group_size=config.group_size,
+                window_groups=config.window_groups,
+                list_cap=config.list_capacity,
+                frontier_cap=config.frontier_capacity)
+
+
+def make_window_step(config, n: int, substeps: int = 1):
+    """Jitted production step with in-graph rebuild policy.
+
+    Rebuilds when ``steps_since >= rebuild_interval`` OR any body drifted
+    more than ``skin/2`` since the last build (Verlet-list safety).
+    """
+    kw = _build_kw(config)
+    ekw = dict(G=config.G, softening=config.softening,
+               group_size=config.group_size,
+               window_groups=config.window_groups)
+    damping = config.damping
+    interval = config.rebuild_interval
+    skin = config.skin
+    drift_mode = getattr(config, "rebuild_drift_mode", "max")
+
+    def substep(state: WindowBHState, dt):
+        lists = state.lists
+        need = lists.steps_since >= interval
+        if drift_mode == "max":
+            drift = jnp.max(jnp.abs(state.pos - lists.ref_pos))
+            need = need | (drift > skin * 0.5)
+        lists = jax.lax.cond(
+            need,
+            lambda: build_lists(state.pos, state.vel, state.mass, **kw),
+            lambda: lists)
+        acc = eval_accel(lists, state.pos, state.mass, dt, **ekw)
+        pos, vel = integrate(state.pos, state.vel, acc, dt, damping)
+        lists = lists._replace(steps_since=lists.steps_since + 1)
+        return WindowBHState(pos, vel, state.mass, lists)
+
+    def step(state, dt):
+        def body(s, _):
+            return substep(s, dt), None
+        state, _ = jax.lax.scan(body, state, None, length=substeps)
+        return state
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def init_window_state(pos, vel, mass, config) -> WindowBHState:
+    lists = build_lists(pos, vel, mass, **_build_kw(config))
+    return WindowBHState(pos, vel, mass, lists)
+
+
+def window_bh_accel(pos, vel, mass, config, dt=0.0):
+    """One-shot accelerations (fresh lists) — the testing entry point."""
+    lists = build_lists(pos, vel, mass, **_build_kw(config))
+    return eval_accel(lists, pos, mass, jnp.float32(dt), G=config.G,
+                      softening=config.softening,
+                      group_size=config.group_size,
+                      window_groups=config.window_groups)

@@ -1,0 +1,176 @@
+"""Windowed (production) Barnes-Hut engine vs oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spatialsim_tpu.config.nbody import NBodyConfig
+from spatialsim_tpu.models.nbody import NBodyState, make_step_fn, resolve_engine
+from spatialsim_tpu.ops.allpairs import allpairs_accel_reference
+from spatialsim_tpu.ops.bh_window import (
+    WindowBHState, build_lists, init_window_state, make_window_step,
+    window_bh_accel, _build_kw)
+from spatialsim_tpu import distributions
+
+
+def _cfg(**kw):
+    base = dict(theta=0.8, G=0.1, softening=2.0, max_depth=9, group_size=64,
+                frontier_capacity=1024, list_capacity=4096, window_groups=3,
+                skin=4.0, rebuild_interval=8)
+    base.update(kw)
+    return NBodyConfig(**base)
+
+
+def _bodies(n, dist="galaxy", seed=3):
+    p, v, m = distributions.generate_distribution(dist, n, 200.0, 0.1,
+                                                  seed=seed)
+    return (jnp.asarray(p.T, jnp.float32), jnp.asarray(v.T, jnp.float32),
+            jnp.asarray(m, jnp.float32))
+
+
+def _err_over_rms(approx, exact):
+    errv = np.linalg.norm(np.asarray(approx) - np.asarray(exact), axis=0)
+    rms = np.sqrt((np.linalg.norm(np.asarray(exact), axis=0) ** 2).mean())
+    return errv / rms
+
+
+@pytest.mark.parametrize("dist", ["galaxy", "cluster"])
+def test_window_accel_not_worse_than_exact_engine(dist):
+    # theta=0.8 BH has intrinsic percent-level error on dense disks; the
+    # production engine must be no less accurate than the reference-parity
+    # per-step engine at the same theta.
+    from spatialsim_tpu.ops.barnes_hut import barnes_hut_accel_impl
+    pos, vel, mass = _bodies(4000, dist)
+    exact = allpairs_accel_reference(pos, mass, 0.1, 2.0)
+    approx = window_bh_accel(pos, vel, mass, _cfg())
+    err = _err_over_rms(approx, exact)
+    ref_bh = barnes_hut_accel_impl(
+        pos, mass, theta=0.8, G=0.1, softening=2.0, max_depth=9,
+        group_size=64, frontier_cap=1024, near_ranges=512, leaf_size=8)
+    err_ref = _err_over_rms(ref_bh, exact)
+    assert np.percentile(err, 99) <= np.percentile(err_ref, 99) * 1.1
+    assert np.percentile(err, 99) < 0.07
+
+
+def test_window_tight_theta_accuracy():
+    pos, vel, mass = _bodies(4000, "galaxy")
+    exact = allpairs_accel_reference(pos, mass, 0.1, 2.0)
+    err = _err_over_rms(window_bh_accel(pos, vel, mass, _cfg(theta=0.5)),
+                        exact)
+    assert np.percentile(err, 99) < 0.01
+
+
+def test_window_accuracy_improves_with_theta():
+    pos, vel, mass = _bodies(3000)
+    exact = allpairs_accel_reference(pos, mass, 0.1, 2.0)
+    errs = [np.median(_err_over_rms(
+        window_bh_accel(pos, vel, mass, _cfg(theta=t)), exact))
+        for t in (1.2, 0.6, 0.3)]
+    assert errs[0] >= errs[1] >= errs[2]
+
+
+def test_frozen_far_entries_advance_with_velocity():
+    # A distant massive clump moving at constant velocity: the frozen
+    # list's predicted force should track the clump's motion first-order.
+    rng = np.random.default_rng(0)
+    n = 2048
+    pos = rng.normal(size=(3, n)).astype(np.float32) * 5.0
+    pos[0, n // 2:] += 500.0          # distant clump
+    vel = np.zeros((3, n), np.float32)
+    vel[0, n // 2:] = -10.0           # clump approaches
+    mass = np.ones(n, np.float32)
+    cfg = _cfg(group_size=64, window_groups=1)
+    lists = build_lists(jnp.asarray(pos), jnp.asarray(vel),
+                        jnp.asarray(mass), **_build_kw(cfg))
+    from spatialsim_tpu.ops.bh_window import eval_accel
+    dt, steps = 0.1, 20
+    moved = pos.copy()
+    moved[0, n // 2:] += -10.0 * dt * steps
+    lists_stale = lists._replace(steps_since=jnp.int32(steps))
+    a_pred = eval_accel(lists_stale, jnp.asarray(moved), jnp.asarray(mass),
+                        jnp.float32(dt), G=0.1, softening=2.0,
+                        group_size=64, window_groups=1)
+    a_true = allpairs_accel_reference(jnp.asarray(moved),
+                                      jnp.asarray(mass), 0.1, 2.0)
+    err = _err_over_rms(a_pred, a_true)
+    assert np.percentile(err, 99) < 0.05
+
+
+def test_window_trajectory_matches_exact_engine():
+    n = 2048
+    pos, vel, mass = _bodies(n, seed=5)
+    cfg = _cfg(rebuild_interval=4)
+    dt = jnp.float32(0.02)
+
+    wstep = make_window_step(cfg, n, substeps=1)
+    wstate = init_window_state(pos, vel, mass, cfg)
+
+    estep = make_step_fn(cfg.replace(engine="exact"), n, substeps=1)
+    estate = NBodyState(jnp.copy(pos), jnp.copy(vel), jnp.copy(mass))
+
+    for _ in range(12):
+        wstate = wstep(wstate, dt)
+        estate = estep(estate, dt)
+    # Same physics up to the two engines' (both θ=0.8-level) approximation.
+    scale = float(jnp.std(estate.pos))
+    diff = float(jnp.max(jnp.abs(wstate.pos - estate.pos)))
+    assert diff < 0.05 * scale
+
+
+def test_interval_only_staleness_stays_theta_level():
+    # Production mode: no drift rebuilds, interval 20.  Over a full cycle
+    # the trajectory must stay within ~theta-level error of the exact
+    # per-step engine (frozen entries advance ballistically).
+    n = 2048
+    pos, vel, mass = _bodies(n, seed=9)
+    cfg = _cfg(rebuild_interval=20, rebuild_drift_mode="off")
+    wstep = make_window_step(cfg, n, substeps=1)
+    wstate = init_window_state(pos, vel, mass, cfg)
+    estep = make_step_fn(cfg.replace(engine="exact"), n, substeps=1)
+    estate = NBodyState(jnp.copy(pos), jnp.copy(vel), jnp.copy(mass))
+    dt = jnp.float32(0.02)
+    for _ in range(40):
+        wstate = wstep(wstate, dt)
+        estate = estep(estate, dt)
+    scale = float(jnp.std(estate.pos))
+    diff = float(jnp.max(jnp.abs(wstate.pos - estate.pos)))
+    assert diff < 0.08 * scale
+
+
+def test_rebuild_policy_triggers_on_interval():
+    n = 1024
+    pos, vel, mass = _bodies(n)
+    cfg = _cfg(rebuild_interval=3, group_size=64)
+    step = make_window_step(cfg, n, substeps=1)
+    st = init_window_state(pos, vel, mass, cfg)
+    seen = []
+    for _ in range(7):
+        st = step(st, jnp.float32(0.02))
+        seen.append(int(st.lists.steps_since))
+    # steps_since resets at the rebuild (interval 3): 1,2,3,1,2,3,1
+    assert seen == [1, 2, 3, 1, 2, 3, 1]
+
+
+def test_engine_resolution():
+    assert resolve_engine(NBodyConfig(allpairs_threshold=100), 50) == "allpairs"
+    assert resolve_engine(NBodyConfig(allpairs_threshold=100), 500) == "window"
+    assert resolve_engine(NBodyConfig(engine="exact"), 10) == "exact"
+
+
+def test_model_uses_window_engine():
+    from spatialsim_tpu.models.nbody import NBodySimulation
+    cfg = _cfg(num_bodies=2048, allpairs_threshold=1024, distribution="galaxy")
+    sim = NBodySimulation(config=cfg)
+    assert sim.engine == "window"
+    assert isinstance(sim.state, WindowBHState)
+    p0 = sim.get_positions()
+    sim.update(0.01)
+    assert not np.allclose(p0, sim.get_positions())
+    assert np.isfinite(sim.get_positions()).all()
+    # Resume path keeps the engine.
+    sim2 = NBodySimulation.from_state(sim.get_positions(),
+                                      sim.get_velocities(),
+                                      sim.get_masses(), config=cfg)
+    assert sim2.engine == "window"
+    sim2.update(0.01)

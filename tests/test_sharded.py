@@ -66,7 +66,9 @@ def test_sharded_step_equals_unsharded(engine):
     mesh = make_mesh(8)
     st = _state(n, seed=4)
 
-    unsharded = make_step_fn(cfg, n, substeps=2)
+    unsharded = make_step_fn(
+        cfg, n, substeps=2,
+        engine="allpairs" if engine == "allpairs" else "exact")
     ref = unsharded(jax.tree_util.tree_map(jnp.copy, st), jnp.float32(0.05))
 
     sstep = make_sharded_step(cfg, n, mesh, substeps=2, engine=engine)
