@@ -59,6 +59,12 @@ class NBodyConfig:
     # alone (frozen entries still advance ballistically; error is
     # second-order in interval, validated in tests/test_bh_window.py).
     rebuild_drift_mode: str = "max"
+    use_pallas_eval: bool = True  # fused Pallas per-step evaluation
+    # Frontier capacity for octree levels >= 7 during list rebuild (deep
+    # levels only visit the group's neighbourhood).  0 = same as
+    # frontier_capacity.  Shrinking it speeds the rebuild but overflow
+    # degrades nearby cells to monopoles — validate accuracy when tuning.
+    deep_frontier_capacity: int = 0
 
     # dt cap applied inside the simulation step (reference simulation.py:802).
     max_dt: float = 0.02

@@ -62,13 +62,15 @@ def compress_frame(positions: np.ndarray, colors: np.ndarray,
     """Pack one frame; delta vs the previous frame when available."""
     use_delta = prev_positions is not None and prev_colors is not None
     if use_delta:
+        from spatialsim_tpu.io import _native
         fmt = FORMAT_DELTA
         # Round-to-nearest (the reference truncates, tools/record.py:259;
         # rounding halves the quantization error and decodes identically).
-        pos_payload = np.rint((positions - prev_positions) * DELTA_SCALE) \
-            .astype(np.int16).tobytes()
-        col_payload = np.rint((colors - prev_colors) * DELTA_SCALE) \
-            .astype(np.int16).tobytes()
+        # The quantize loop runs in the native codec core when available.
+        pos_payload = _native.delta_encode(
+            positions, prev_positions, DELTA_SCALE).tobytes()
+        col_payload = _native.delta_encode(
+            colors, prev_colors, DELTA_SCALE).tobytes()
     else:
         fmt = FORMAT_ABSOLUTE
         pos_payload = np.asarray(positions, np.float32).tobytes()
@@ -117,11 +119,13 @@ def decompress_frame(data: bytes,
         raise ValueError(f"unknown frame format {fmt}")
     if prev_positions is None or prev_colors is None:
         raise ValueError("delta frame requires the previous frame")
+    from spatialsim_tpu.io import _native
     pos_delta = np.frombuffer(pos_payload, np.int16).reshape(-1, 3)
     col_delta = np.frombuffer(col_payload, np.int16).reshape(-1, 3)
-    positions = prev_positions + pos_delta.astype(np.float32) / DELTA_SCALE
-    colors = prev_colors + col_delta.astype(np.float32) / DELTA_SCALE
-    return positions.astype(np.float32), colors.astype(np.float32)
+    positions = _native.delta_decode(pos_delta, prev_positions,
+                                     1.0 / DELTA_SCALE)
+    colors = _native.delta_decode(col_delta, prev_colors, 1.0 / DELTA_SCALE)
+    return positions, colors
 
 
 def load_frame(rec_dir: Path, frame_idx: int,

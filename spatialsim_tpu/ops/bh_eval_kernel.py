@@ -1,0 +1,159 @@
+"""Pallas kernel for the windowed-BH per-step force evaluation.
+
+Replaces the XLA dense evaluation in :mod:`spatialsim_tpu.ops.bh_window`
+(measured ~84 ms/step at 1M bodies) with a single fused kernel per group:
+
+* the group's own bodies arrive transposed ``(gsz, 8)`` (bodies on
+  sublanes), the 2·wg+1 window blocks arrive as ``(8, gsz)`` lanes-major
+  slices of the padded sorted array — both layouts chosen so the kernel
+  never transposes;
+* far entries stream from a per-group ``(4, L)`` VMEM block in tiles, and
+  the tile loop is bounded by the group's ACTUAL entry count (scalar
+  prefetch) — padding tiles are skipped instead of masked;
+* pairwise math uses direct coordinate differences (exact in fp for
+  nearby magnitudes — no cancellation, no centering needed) and the
+  reference force law ``w = m/dist³`` gated by ``dist² > softening²``
+  (reference ``nbody/simulation.py:247-266``); G is folded in once at the
+  end.
+
+The pure-XLA path remains in bh_window.py as the fallback/oracle; the two
+are asserted equal in tests/test_bh_window.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pair_accum(xi, yi, zi, xj, yj, zj, mj, soft_sq):
+    """Accumulate monopole forces of sources j onto bodies i.
+
+    xi/yi/zi: (gsz, 1); xj/yj/zj/mj: (1, S).  Returns ax, ay, az (gsz, 1).
+    """
+    dx = xj - xi
+    dy = yj - yi
+    dz = zj - zi
+    dist_sq = dx * dx + dy * dy + dz * dz + soft_sq
+    inv = jax.lax.rsqrt(dist_sq)
+    w = jnp.where(dist_sq > soft_sq, mj * (inv * inv * inv), 0.0)
+    return (jnp.sum(w * dx, axis=1, keepdims=True),
+            jnp.sum(w * dy, axis=1, keepdims=True),
+            jnp.sum(w * dz, axis=1, keepdims=True))
+
+
+def _eval_kernel(far_n_ref, gpos_ref, *window_and_far, soft_sq, G, gsz,
+                 far_tile, n_window):
+    window_refs = window_and_far[:n_window]
+    far_ref = window_and_far[n_window]
+    out_ref = window_and_far[n_window + 1]
+
+    g = pl.program_id(0)
+    xi = gpos_ref[:, 0:1]
+    yi = gpos_ref[:, 1:2]
+    zi = gpos_ref[:, 2:3]
+
+    ax = jnp.zeros((gsz, 1), jnp.float32)
+    ay = jnp.zeros((gsz, 1), jnp.float32)
+    az = jnp.zeros((gsz, 1), jnp.float32)
+
+    # Near field: the Morton window, one dense block per neighbour group.
+    for wref in window_refs:
+        dax, day, daz = _pair_accum(
+            xi, yi, zi, wref[0:1, :], wref[1:2, :], wref[2:3, :],
+            wref[3:4, :], soft_sq)
+        ax += dax
+        ay += day
+        az += daz
+
+    # Far field: tiles of frozen entries, loop bounded by the real count.
+    n_tiles = (far_n_ref[g] + far_tile - 1) // far_tile
+
+    def tile_body(t, carry):
+        ax, ay, az = carry
+        off = pl.multiple_of(t * far_tile, far_tile)
+        fx = far_ref[0, 0:1, pl.ds(off, far_tile)]
+        fy = far_ref[0, 1:2, pl.ds(off, far_tile)]
+        fz = far_ref[0, 2:3, pl.ds(off, far_tile)]
+        fm = far_ref[0, 3:4, pl.ds(off, far_tile)]
+        dax, day, daz = _pair_accum(xi, yi, zi, fx, fy, fz, fm, soft_sq)
+        return ax + dax, ay + day, az + daz
+
+    ax, ay, az = jax.lax.fori_loop(0, n_tiles, tile_body, (ax, ay, az))
+
+    out_ref[:, :] = jnp.concatenate(
+        [ax * G, ay * G, az * G, jnp.zeros((gsz, 5), jnp.float32)], axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("G", "softening", "group_size", "window_groups",
+                     "far_tile"))
+def pallas_window_eval(s_pos, s_mass, far4, far_n, *, G, softening,
+                       group_size=512, window_groups=3, far_tile=512):
+    """Fused near-window + far-list accelerations.
+
+    Args:
+      s_pos: ``(3, npad)`` f32 sorted positions (npad multiple of group).
+      s_mass: ``(npad,)`` f32 sorted masses (padding slots zero).
+      far4: ``(ng, 4, L)`` f32 frozen far entries [x, y, z, mass] with the
+        COM already advanced to the current step.
+      far_n: ``(ng,)`` int32 actual entry counts.
+    Returns:
+      ``(3, npad)`` f32 accelerations in sorted order.
+    """
+    gsz = group_size
+    wg = window_groups
+    npad = s_pos.shape[1]
+    ng = npad // gsz
+    L = far4.shape[2]
+    soft_sq = float(softening) ** 2
+
+    pos8 = jnp.concatenate(
+        [s_pos, s_mass[None, :], jnp.zeros((4, npad), jnp.float32)], axis=0)
+    # Window source array padded by wg zero-mass groups on each side.
+    pos8_winpad = jnp.pad(pos8, ((0, 0), (wg * gsz, wg * gsz)))
+    gpos_t = pos8.T                              # (npad, 8): bodies-major
+
+    n_window = 2 * wg + 1
+    # Index maps receive (grid index, scalar-prefetch ref) — ignore latter.
+    in_specs = [pl.BlockSpec((gsz, 8), lambda g, *_: (g, 0),
+                             memory_space=pltpu.VMEM)]
+    for k in range(n_window):
+        in_specs.append(pl.BlockSpec(
+            (8, gsz), (lambda g, *_, k=k: (0, g + k)),
+            memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((1, 4, L), lambda g, *_: (g, 0, 0),
+                                 memory_space=pltpu.VMEM))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ng,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((gsz, 8), lambda g, *_: (g, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    def kernel(far_n_ref, gpos_ref, *rest):
+        _eval_kernel(far_n_ref, gpos_ref, *rest,
+                     soft_sq=soft_sq, G=float(G), gsz=gsz,
+                     far_tile=far_tile, n_window=n_window)
+
+    interpret = jax.default_backend() != "tpu"
+    avg_pairs = gsz * (n_window * gsz + L)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((npad, 8), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=int(ng) * avg_pairs * 17,
+            bytes_accessed=npad * 8 * 4 + ng * 4 * L * 4,
+            transcendentals=int(ng) * avg_pairs),
+        interpret=interpret,
+    )(far_n, gpos_t, *([pos8_winpad] * n_window), far4)
+
+    return out[:, :3].T

@@ -53,6 +53,7 @@ class BHLists(NamedTuple):
     order: jax.Array        # (Npad,) int32 sort permutation (pad: last body)
     inv_order: jax.Array    # (N,) int32 original index -> sorted slot
     far: jax.Array          # (ng, L, 8) f32 [com0 xyz, v0 xyz, mass, 0]
+    far_n: jax.Array        # (ng,) int32 actual entry counts
     ref_pos: jax.Array      # (3, N) positions at build (drift detection)
     steps_since: jax.Array  # () int32 steps since build
 
@@ -65,52 +66,77 @@ def _exclusive_cumsum(x):
 # Rebuild: traversal emitting clipped far ranges
 # ---------------------------------------------------------------------------
 
+SLIVER_CAP = 64  # >= 4 emissions/level x levels; deterministic bound
+
+
 def _traverse_emit(gidx, bbox_min, bbox_max, tree, *, theta, soft_sq,
                    skin, gsz, window_groups, list_cap, n_levels,
-                   frontier_cap):
-    """One group's traversal -> far body-ranges [s, e), window-clipped."""
-    F = frontier_cap
+                   frontier_caps):
+    """One group's traversal.
+
+    Emits far entries as frozen moment VALUES ``[com, vel, mass, 0]``
+    directly from the level arrays (no post-hoc prefix gather).  Cells
+    that straddle the group's window boundary can't be value-emitted
+    (their in-window part would double count), so their window-clipped
+    body ranges go to a small ``sliver`` list — at most 2 straddle cells
+    exist per level (the cells containing the window's two boundary
+    indices), so ``SLIVER_CAP`` is a hard bound, not a heuristic.
+    """
     lo = (gidx - window_groups) * gsz
     hi = (gidx + window_groups + 1) * gsz
 
     levels = tree.levels
+    F0 = frontier_caps[0]
     c0 = levels[0].code.shape[0]
-    init = jnp.arange(F, dtype=jnp.int32)
+    init = jnp.arange(F0, dtype=jnp.int32)
     frontier = jnp.where(init < jnp.minimum(c0, levels[0].n_cells), init, -1)
 
-    far_start = jnp.zeros((list_cap,), jnp.int32)
-    far_end = jnp.zeros((list_cap,), jnp.int32)
+    far_vals = jnp.zeros((list_cap, 8), jnp.float32)
     far_n = jnp.int32(0)
+    sl_start = jnp.zeros((SLIVER_CAP,), jnp.int32)
+    sl_end = jnp.zeros((SLIVER_CAP,), jnp.int32)
+    sl_n = jnp.int32(0)
     theta_sq = theta * theta
 
     bbox_min = bbox_min - skin
     bbox_max = bbox_max + skin
 
-    def emit(mask, s, e, far_start, far_end, far_n):
-        """Append window-clipped parts of ranges [s, e) for masked cells."""
-        parts = [(s, jnp.minimum(e, lo)), (jnp.maximum(s, hi), e)]
-        for ps, pe in parts:
+    def emit_values(mask, vals8, far_vals, far_n):
+        pos = far_n + _exclusive_cumsum(mask.astype(jnp.int32))
+        slot = jnp.where(mask & (pos < list_cap), pos, list_cap)
+        far_vals = far_vals.at[slot, :].set(vals8, mode="drop")
+        far_n = jnp.minimum(far_n + jnp.sum(mask.astype(jnp.int32)),
+                            list_cap)
+        return far_vals, far_n
+
+    def emit_slivers(mask, s, e, sl_start, sl_end, sl_n):
+        for ps, pe in ((s, jnp.minimum(e, lo)), (jnp.maximum(s, hi), e)):
             take = mask & (pe > ps)
-            pos = far_n + _exclusive_cumsum(take.astype(jnp.int32))
-            slot = jnp.where(take & (pos < list_cap), pos, list_cap)
-            far_start = far_start.at[slot].set(ps, mode="drop")
-            far_end = far_end.at[slot].set(pe, mode="drop")
-            far_n = jnp.minimum(
-                far_n + jnp.sum(take.astype(jnp.int32)), list_cap)
-        return far_start, far_end, far_n
+            pos = sl_n + _exclusive_cumsum(take.astype(jnp.int32))
+            slot = jnp.where(take, pos, SLIVER_CAP)
+            sl_start = sl_start.at[slot].set(ps, mode="drop")
+            sl_end = sl_end.at[slot].set(pe, mode="drop")
+            sl_n = sl_n + jnp.sum(take.astype(jnp.int32))
+        return sl_start, sl_end, sl_n
 
     for li in range(n_levels):
         lv = levels[li]
         level = tree.start_level + li
         side = 2.0 * tree.half / (2 ** level)
         last = li == n_levels - 1
+        F_next = frontier_caps[min(li + 1, n_levels - 1)]
 
         valid = frontier >= 0
         idx = jnp.clip(frontier, 0, lv.code.shape[0] - 1)
         ccom = lv.com[:, idx]
+        cvel = lv.vel[:, idx]
+        cmass = jnp.where(valid, lv.mass[idx], 0.0)
         ccount = jnp.where(valid, lv.count[idx], 0)
         cstart = jnp.where(valid, lv.body_start[idx], 0)
         cend = cstart + ccount
+        vals8 = jnp.concatenate(
+            [ccom.T, cvel.T, cmass[:, None],
+             jnp.zeros((cmass.shape[0], 1), jnp.float32)], axis=1)
 
         in_window = valid & (cstart >= lo) & (cend <= hi)
         straddle = valid & ~in_window & (cstart < hi) & (cend > lo)
@@ -121,28 +147,30 @@ def _traverse_emit(gidx, bbox_min, bbox_max, tree, *, theta, soft_sq,
         dmin_sq = jnp.sum(gap * gap, axis=0) + soft_sq
         theta_ok = side * side < theta_sq * dmin_sq
 
-        # Emit: θ-accepted wholly-outside cells; ≤1-body cells (their
-        # clipped monopole is the exact body or empty); at the last level
-        # everything still open (graceful monopole, incl. straddle slivers).
-        accept = outside & (theta_ok | (ccount <= 1))
-        accept = accept | (valid & ~in_window & ~accept & (ccount <= 1))
+        emit_val = outside & (theta_ok | (ccount <= 1))
+        emit_sl = straddle & (ccount <= 1)
         if last:
-            emit_mask = accept | (valid & ~in_window & ~accept)
+            emit_val = emit_val | (outside & ~emit_val)
+            emit_sl = emit_sl | (straddle & ~emit_sl)
             open_ = jnp.zeros_like(valid)
         else:
-            emit_mask = accept
-            open_ = valid & ~in_window & ~accept & (ccount > 1)
+            open_ = ((outside & ~emit_val) | (straddle & ~emit_sl)) \
+                & (ccount > 1)
 
-        far_start, far_end, far_n = emit(
-            emit_mask, cstart, cend, far_start, far_end, far_n)
+        far_vals, far_n = emit_values(emit_val, vals8, far_vals, far_n)
+        sl_start, sl_end, sl_n = emit_slivers(
+            emit_sl, cstart, cend, sl_start, sl_end, sl_n)
 
         if not last:
             cc = jnp.where(open_, lv.child_count[idx], 0)
             offs = _exclusive_cumsum(cc)
-            ovf = open_ & (offs + cc > F)
-            # Frontier overflow degrades to the parent's clipped monopole.
-            far_start, far_end, far_n = emit(
-                ovf, cstart, cend, far_start, far_end, far_n)
+            ovf = open_ & (offs + cc > F_next)
+            # Frontier overflow degrades to the parent's monopole (values
+            # for wholly-outside cells, clipped ranges for straddlers).
+            far_vals, far_n = emit_values(ovf & outside, vals8,
+                                          far_vals, far_n)
+            sl_start, sl_end, sl_n = emit_slivers(
+                ovf & straddle, cstart, cend, sl_start, sl_end, sl_n)
             open_ = open_ & ~ovf
             cc = jnp.where(open_, cc, 0)
             offs = _exclusive_cumsum(cc)
@@ -151,21 +179,22 @@ def _traverse_emit(gidx, bbox_min, bbox_max, tree, *, theta, soft_sq,
             cand = (cs[:, None] + j[None, :]).reshape(-1)
             tpos = (offs[:, None] + j[None, :]).reshape(-1)
             cvalid = (j[None, :] < cc[:, None]).reshape(-1)
-            tpos = jnp.where(cvalid, tpos, F)
-            frontier = jnp.full((F,), -1, jnp.int32).at[tpos].set(
+            tpos = jnp.where(cvalid, tpos, F_next)
+            frontier = jnp.full((F_next,), -1, jnp.int32).at[tpos].set(
                 cand, mode="drop")
 
-    return far_start, far_end, far_n
+    return far_vals, far_n, sl_start, sl_end, sl_n
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("theta", "softening", "skin", "max_depth", "group_size",
                      "window_groups", "list_cap", "group_chunk",
-                     "frontier_cap"))
+                     "frontier_cap", "deep_frontier_cap", "deep_level"))
 def build_lists(pos, vel, mass, *, theta, softening, skin=4.0, max_depth=10,
                 group_size=256, window_groups=3, list_cap=2048,
-                group_chunk=128, frontier_cap=512):
+                group_chunk=128, frontier_cap=512, deep_frontier_cap=256,
+                deep_level=7):
     """Morton-sort + octree + traversal -> :class:`BHLists`."""
     n = pos.shape[1]
     gsz = group_size
@@ -185,8 +214,13 @@ def build_lists(pos, vel, mass, *, theta, softening, skin=4.0, max_depth=10,
     s_vel = vel[:, order_pad]
 
     tree = build_octree(s_codes, s_pos, s_mass, half, max_depth=max_depth,
-                        start_level=2, n=npad)
+                        start_level=2, n=npad, sorted_vel=s_vel)
     n_levels = len(tree.levels)
+    start_level = 2
+    # Deep levels visit only the group's neighbourhood: smaller frontier.
+    frontier_caps = tuple(
+        frontier_cap if (start_level + li) < deep_level
+        else deep_frontier_cap for li in range(n_levels))
 
     ng = npad // gsz
     gpos = s_pos.reshape(3, ng, gsz)
@@ -197,7 +231,7 @@ def build_lists(pos, vel, mass, *, theta, softening, skin=4.0, max_depth=10,
         _traverse_emit, tree=tree, theta=float(theta),
         soft_sq=float(softening) ** 2, skin=float(skin), gsz=gsz,
         window_groups=window_groups, list_cap=list_cap, n_levels=n_levels,
-        frontier_cap=frontier_cap)
+        frontier_caps=frontier_caps)
     vemit = jax.vmap(emit)
 
     chunk = min(group_chunk, ng)
@@ -206,32 +240,43 @@ def build_lists(pos, vel, mass, *, theta, softening, skin=4.0, max_depth=10,
     gi = jnp.arange(ng, dtype=jnp.int32).reshape(ng // chunk, chunk)
     bmin = bbox_min.reshape(ng // chunk, chunk, 3)
     bmax = bbox_max.reshape(ng // chunk, chunk, 3)
-    fs, fe, fn = jax.lax.map(lambda a: vemit(*a), (gi, bmin, bmax))
-    far_start = fs.reshape(ng, list_cap)
-    far_end = fe.reshape(ng, list_cap)
+    fv, fn, sls, sle, sln = jax.lax.map(lambda a: vemit(*a),
+                                        (gi, bmin, bmax))
+    far = fv.reshape(ng, list_cap, 8)
     far_n = fn.reshape(ng)
+    sl_start = sls.reshape(ng, SLIVER_CAP)
+    sl_end = sle.reshape(ng, SLIVER_CAP)
+    sl_n = sln.reshape(ng)
 
-    # Frozen moments from prefix sums over the sorted bodies:
-    # mass, mass·pos, mass·vel — exclusive prefixes of length npad+1.
+    # Sliver moments (window-boundary fragments) from prefix sums; tiny
+    # gather (ng x SLIVER_CAP x 2 x 7).
     w = s_mass[None, :]
     pref = jnp.concatenate([
         jnp.zeros((7, 1), jnp.float32),
         jnp.cumsum(jnp.concatenate([s_mass[None, :], s_pos * w, s_vel * w],
                                    axis=0), axis=1)], axis=1)   # (7, npad+1)
-    seg = pref[:, far_end] - pref[:, far_start]                 # (7, ng, L)
-    valid = (jnp.arange(list_cap)[None, :] < far_n[:, None])
-    m = jnp.where(valid, seg[0], 0.0)
-    inv_m = jnp.where(m > 0, 1.0 / jnp.maximum(m, 1e-30), 0.0)
-    far = jnp.stack([
-        seg[1] * inv_m, seg[2] * inv_m, seg[3] * inv_m,      # com0
-        seg[4] * inv_m, seg[5] * inv_m, seg[6] * inv_m,      # v0
-        m, jnp.zeros_like(m)], axis=-1)                      # (ng, L, 8)
+    seg = pref[:, sl_end] - pref[:, sl_start]                   # (7, ng, SC)
+    svalid = (jnp.arange(SLIVER_CAP)[None, :] < sl_n[:, None])
+    sm = jnp.where(svalid, seg[0], 0.0)
+    sinv = jnp.where(sm > 0, 1.0 / jnp.maximum(sm, 1e-30), 0.0)
+    svals = jnp.stack([
+        seg[1] * sinv, seg[2] * sinv, seg[3] * sinv,
+        seg[4] * sinv, seg[5] * sinv, seg[6] * sinv,
+        sm, jnp.zeros_like(sm)], axis=-1)                       # (ng, SC, 8)
+
+    # Append slivers to the far lists.
+    def append(fv, fn, sv, sn):
+        k = jnp.arange(SLIVER_CAP, dtype=jnp.int32)
+        slot = jnp.where((k < sn) & (fn + k < list_cap), fn + k, list_cap)
+        return (fv.at[slot, :].set(sv, mode="drop"),
+                jnp.minimum(fn + sn, list_cap))
+    far, far_n = jax.vmap(append)(far, far_n, svals, sl_n)
 
     inv_order = jnp.zeros((n,), jnp.int32).at[order].set(
         jnp.arange(n, dtype=jnp.int32))
     return BHLists(order=order_pad, inv_order=inv_order,
-                   far=far.astype(jnp.float32), ref_pos=pos,
-                   steps_since=jnp.int32(0))
+                   far=far.astype(jnp.float32), far_n=far_n,
+                   ref_pos=pos, steps_since=jnp.int32(0))
 
 
 # ---------------------------------------------------------------------------
@@ -284,9 +329,10 @@ def _dense_accel(gpos, src_pos, src_mass, G, soft_sq):
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "window_groups",
-                                             "G", "softening", "chunk"))
+                                             "G", "softening", "chunk",
+                                             "use_pallas"))
 def eval_accel(lists: BHLists, pos, mass, dt, *, G, softening,
-               group_size=256, window_groups=3, chunk=64):
+               group_size=256, window_groups=3, chunk=64, use_pallas=True):
     """Accelerations from the amortized lists at the current positions."""
     n = pos.shape[1]
     gsz = group_size
@@ -298,6 +344,17 @@ def eval_accel(lists: BHLists, pos, mass, dt, *, G, softening,
     s_pos = pos[:, lists.order]
     pad_mask = jnp.arange(npad) >= n
     s_mass = jnp.where(pad_mask, 0.0, mass[lists.order])
+
+    if use_pallas:
+        from spatialsim_tpu.ops.bh_eval_kernel import pallas_window_eval
+        tau_ = lists.steps_since.astype(jnp.float32) * dt
+        fpos = lists.far[..., 0:3] + lists.far[..., 3:6] * tau_
+        far4 = jnp.concatenate(
+            [fpos, lists.far[..., 6:7]], axis=-1).transpose(0, 2, 1)
+        acc_sorted = pallas_window_eval(
+            s_pos, s_mass, far4, lists.far_n, G=Gf, softening=softening,
+            group_size=gsz, window_groups=window_groups)
+        return acc_sorted[:, lists.inv_order]
 
     gpos = jnp.moveaxis(s_pos.reshape(3, ng, gsz), 1, 0)      # (ng, 3, gsz)
     center = jnp.mean(gpos, axis=2, keepdims=True)            # (ng, 3, 1)
@@ -344,12 +401,14 @@ class WindowBHState(NamedTuple):
 
 
 def _build_kw(config):
+    deep = getattr(config, "deep_frontier_capacity", 0)
     return dict(theta=config.theta, softening=config.softening,
                 skin=config.skin, max_depth=config.max_depth,
                 group_size=config.group_size,
                 window_groups=config.window_groups,
                 list_cap=config.list_capacity,
-                frontier_cap=config.frontier_capacity)
+                frontier_cap=config.frontier_capacity,
+                deep_frontier_cap=deep or config.frontier_capacity)
 
 
 def make_window_step(config, n: int, substeps: int = 1):
@@ -361,7 +420,8 @@ def make_window_step(config, n: int, substeps: int = 1):
     kw = _build_kw(config)
     ekw = dict(G=config.G, softening=config.softening,
                group_size=config.group_size,
-               window_groups=config.window_groups)
+               window_groups=config.window_groups,
+               use_pallas=getattr(config, "use_pallas_eval", True))
     damping = config.damping
     interval = config.rebuild_interval
     skin = config.skin
@@ -396,10 +456,13 @@ def init_window_state(pos, vel, mass, config) -> WindowBHState:
     return WindowBHState(pos, vel, mass, lists)
 
 
-def window_bh_accel(pos, vel, mass, config, dt=0.0):
+def window_bh_accel(pos, vel, mass, config, dt=0.0, use_pallas=None):
     """One-shot accelerations (fresh lists) — the testing entry point."""
+    if use_pallas is None:
+        use_pallas = getattr(config, "use_pallas_eval", True)
     lists = build_lists(pos, vel, mass, **_build_kw(config))
     return eval_accel(lists, pos, mass, jnp.float32(dt), G=config.G,
                       softening=config.softening,
                       group_size=config.group_size,
-                      window_groups=config.window_groups)
+                      window_groups=config.window_groups,
+                      use_pallas=use_pallas)

