@@ -47,27 +47,46 @@ def generate_rainbow_colors(count: int, rng: np.random.Generator) -> np.ndarray:
     return colors
 
 
+def resolve_neighbor_mode(config: BoidsConfig) -> str:
+    mode = getattr(config, "neighbor_mode", "auto")
+    if mode != "auto":
+        return mode
+    return ("grid" if config.num_boids <= config.window_threshold
+            else "window")
+
+
 def make_step_fn(config: BoidsConfig):
     """Build the jitted flock step: (state, dt) -> state."""
     import math
 
+    from spatialsim_tpu.ops.boids_ops import flocking_forces_window
+
+    mode = resolve_neighbor_mode(config)
     cell_range = int(math.ceil(config.perception_radius / config.cell_size))
     grid_dim = config.grid_dim
     grid_offset = config.bounds + config.cell_size  # flock.py:483
     wall_force = config.max_force * config.wall_weight  # flock.py:672
 
+    common = dict(
+        cell_size=config.cell_size, grid_dim=grid_dim, offset=grid_offset,
+        perception_radius=config.perception_radius,
+        separation_radius=config.separation_radius,
+        separation_weight=config.separation_weight,
+        alignment_weight=config.alignment_weight,
+        cohesion_weight=config.cohesion_weight,
+        max_speed=config.max_speed, max_force=config.max_force)
+
     def step(state: BoidsState, dt):
-        force, avg_col = flocking_forces(
-            state.pos, state.vel, state.col,
-            cell_size=config.cell_size, grid_dim=grid_dim,
-            offset=grid_offset,
-            perception_radius=config.perception_radius,
-            separation_radius=config.separation_radius,
-            separation_weight=config.separation_weight,
-            alignment_weight=config.alignment_weight,
-            cohesion_weight=config.cohesion_weight,
-            max_speed=config.max_speed, max_force=config.max_force,
-            cell_range=cell_range, cell_capacity=config.cell_capacity)
+        if mode == "window":
+            force, avg_col = flocking_forces_window(
+                state.pos, state.vel, state.col,
+                group_size=config.group_size,
+                window_groups=config.window_groups, **common)
+        else:
+            force, avg_col = flocking_forces(
+                state.pos, state.vel, state.col,
+                cell_range=cell_range,
+                cell_capacity=config.cell_capacity, **common)
         blend = jnp.minimum(1.0, config.color_blend_rate * dt)
         pos, vel, col = boids_physics(
             state.pos, state.vel, state.col, force, avg_col,
@@ -101,6 +120,7 @@ class Flock:
             vel=jnp.asarray(vel.T, jnp.float32),
             col=jnp.asarray(col.T, jnp.float32),
         )
+        self.neighbor_mode = resolve_neighbor_mode(self.config)
         self._step = make_step_fn(self.config)
 
     def update(self, dt: float):

@@ -1,0 +1,88 @@
+"""Window-mode boids vs the exact grid path."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from spatialsim_tpu.config.boids import BoidsConfig
+from spatialsim_tpu.models.boids import Flock, resolve_neighbor_mode
+from spatialsim_tpu.ops.boids_ops import (flocking_forces,
+                                          flocking_forces_window)
+
+
+def _setup(n=4000, seed=0):
+    rng = np.random.default_rng(seed)
+    cfg = BoidsConfig(num_boids=n)
+    pos = jnp.asarray((rng.random((3, n)) - 0.5) * 2 * cfg.bounds, jnp.float32)
+    vel = jnp.asarray((rng.random((3, n)) - 0.5) * cfg.max_speed, jnp.float32)
+    col = jnp.asarray(rng.random((3, n)), jnp.float32)
+    return cfg, pos, vel, col
+
+
+def _common(cfg):
+    return dict(cell_size=cfg.cell_size, grid_dim=cfg.grid_dim,
+                offset=cfg.bounds + cfg.cell_size,
+                perception_radius=cfg.perception_radius,
+                separation_radius=cfg.separation_radius,
+                separation_weight=cfg.separation_weight,
+                alignment_weight=cfg.alignment_weight,
+                cohesion_weight=cfg.cohesion_weight,
+                max_speed=cfg.max_speed, max_force=cfg.max_force)
+
+
+def test_window_mode_close_to_exact_grid():
+    # Uniform boids at the default density: the Morton window should
+    # capture the large majority of neighbour pairs, so the force field
+    # stays statistically close to the exact grid result.
+    cfg, pos, vel, col = _setup(6000)
+    f_exact, c_exact = flocking_forces(pos, vel, col, cell_range=1,
+                                       cell_capacity=32, **_common(cfg))
+    f_win, c_win = flocking_forces_window(pos, vel, col, group_size=128,
+                                          window_groups=3, **_common(cfg))
+    fe = np.asarray(f_exact)
+    fw = np.asarray(f_win)
+    # Boids with neighbours in both versions should mostly agree exactly
+    # (captured pairs use identical math).
+    same = np.isclose(fe, fw, atol=1e-4).all(axis=0)
+    assert same.mean() > 0.85
+    # Magnitudes comparable overall.
+    assert abs(np.linalg.norm(fw) - np.linalg.norm(fe)) \
+        < 0.3 * np.linalg.norm(fe) + 1e-6
+
+
+def test_window_mode_dense_cluster_captures_neighbours():
+    # All boids in one tight cluster: Morton-adjacent == spatially
+    # adjacent, so the window must reproduce the grid forces closely.
+    rng = np.random.default_rng(1)
+    n = 2048
+    cfg = BoidsConfig(num_boids=n)
+    pos = jnp.asarray(rng.normal(size=(3, n)) * 3.0, jnp.float32)
+    vel = jnp.asarray(rng.normal(size=(3, n)) * 5.0, jnp.float32)
+    col = jnp.asarray(rng.random((3, n)), jnp.float32)
+    f_exact, _ = flocking_forces(pos, vel, col, cell_range=1,
+                                 cell_capacity=2048, **_common(cfg))
+    # Window sized to cover the whole cluster (ng=4 groups, wg=3 spans
+    # every group from every group) -> captures every pair.
+    f_win, _ = flocking_forces_window(pos, vel, col, group_size=512,
+                                      window_groups=3, **_common(cfg))
+    fe, fw = np.asarray(f_exact), np.asarray(f_win)
+    rel = np.linalg.norm(fw - fe) / (np.linalg.norm(fe) + 1e-9)
+    assert rel < 0.02
+
+
+def test_mode_resolution_and_model():
+    assert resolve_neighbor_mode(BoidsConfig(num_boids=1000)) == "grid"
+    assert resolve_neighbor_mode(BoidsConfig(num_boids=100_000)) == "window"
+    assert resolve_neighbor_mode(
+        BoidsConfig(num_boids=100, neighbor_mode="window")) == "window"
+
+    flock = Flock(config=BoidsConfig(num_boids=2048,
+                                     neighbor_mode="window"))
+    assert flock.neighbor_mode == "window"
+    p0 = flock.get_positions()
+    for _ in range(3):
+        flock.update(0.016)
+    p1 = flock.get_positions()
+    assert not np.allclose(p0, p1)
+    assert np.isfinite(p1).all()
+    # Bounds respected (soft walls keep boids near the box).
+    assert np.abs(p1).max() < flock.config.bounds * 1.2
