@@ -30,18 +30,19 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--bodies", type=int, default=1_000_000)
     p.add_argument("--theta", type=float, default=0.8)
-    p.add_argument("--steps", type=int, default=60)
+    p.add_argument("--steps", type=int, default=96)
     p.add_argument("--warmup", type=int, default=2)
-    p.add_argument("--chain", type=int, default=20,
+    p.add_argument("--chain", type=int, default=48,
                    help="physics steps per device dispatch")
     p.add_argument("--distribution", default="galaxy")
     p.add_argument("--engine",
                    choices=["auto", "allpairs", "exact", "window"],
                    default="window")
-    p.add_argument("--group-size", type=int, default=512)
-    p.add_argument("--list-cap", type=int, default=4096)
-    p.add_argument("--skin", type=float, default=8.0)
-    p.add_argument("--rebuild-interval", type=int, default=20)
+    p.add_argument("--group-size", type=int, default=256)
+    p.add_argument("--depth", type=int, default=9)
+    p.add_argument("--list-cap", type=int, default=6144)
+    p.add_argument("--skin", type=float, default=6.0)
+    p.add_argument("--rebuild-interval", type=int, default=48)
     p.add_argument("--drift-mode", choices=["max", "off"], default="off")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
@@ -59,8 +60,9 @@ def main(argv=None) -> int:
     cfg = NBodyConfig(num_bodies=n, theta=args.theta, G=0.1, softening=2.0,
                       damping=1.0, spawn_radius=500.0,
                       distribution=args.distribution, engine=engine,
-                      group_size=args.group_size,
-                      list_capacity=args.list_cap, skin=args.skin,
+                      group_size=args.group_size, max_depth=args.depth,
+                      window_groups=3, list_capacity=args.list_cap,
+                      skin=args.skin,
                       rebuild_interval=args.rebuild_interval,
                       rebuild_drift_mode=args.drift_mode)
 

@@ -65,6 +65,15 @@ class NBodyConfig:
     # frontier_capacity.  Shrinking it speeds the rebuild but overflow
     # degrades nearby cells to monopoles — validate accuracy when tuning.
     deep_frontier_capacity: int = 0
+    # Two-phase rebuild: coarse levels run once per `supergroup` sibling
+    # groups, their theta-accepted cells land in a shared list (size
+    # shared_capacity).  1 = single-phase.
+    supergroup: int = 1
+    shared_capacity: int = 2048
+    # Rebuild traversal layout: "global" worklist (cost ∝ actual visited
+    # pairs; robust to skewed densities) or "pergroup" static frontiers.
+    build_mode: str = "global"
+    worklist_budget: int = 0     # 0 = auto (min(4M, max(256K, 4N)))
 
     # dt cap applied inside the simulation step (reference simulation.py:802).
     max_dt: float = 0.02

@@ -46,11 +46,12 @@ def _pair_accum(xi, yi, zi, xj, yj, zj, mj, soft_sq):
             jnp.sum(w * dz, axis=1, keepdims=True))
 
 
-def _eval_kernel(far_n_ref, gpos_ref, *window_and_far, soft_sq, G, gsz,
-                 far_tile, n_window):
-    window_refs = window_and_far[:n_window]
-    far_ref = window_and_far[n_window]
-    out_ref = window_and_far[n_window + 1]
+def _eval_kernel(far_n_ref, shared_n_ref, gpos_ref, *rest, soft_sq, G, gsz,
+                 far_tile, n_window, supergroup):
+    window_refs = rest[:n_window]
+    far_ref = rest[n_window]
+    shared_ref = rest[n_window + 1]
+    out_ref = rest[n_window + 2]
 
     g = pl.program_id(0)
     xi = gpos_ref[:, 0:1]
@@ -70,20 +71,27 @@ def _eval_kernel(far_n_ref, gpos_ref, *window_and_far, soft_sq, G, gsz,
         ay += day
         az += daz
 
-    # Far field: tiles of frozen entries, loop bounded by the real count.
-    n_tiles = (far_n_ref[g] + far_tile - 1) // far_tile
+    def list_loop(ref, count, carry):
+        # Frozen-entry tiles, loop bounded by the actual entry count.
+        tile = min(far_tile, ref.shape[2])
+        n_tiles = (count + tile - 1) // tile
 
-    def tile_body(t, carry):
-        ax, ay, az = carry
-        off = pl.multiple_of(t * far_tile, far_tile)
-        fx = far_ref[0, 0:1, pl.ds(off, far_tile)]
-        fy = far_ref[0, 1:2, pl.ds(off, far_tile)]
-        fz = far_ref[0, 2:3, pl.ds(off, far_tile)]
-        fm = far_ref[0, 3:4, pl.ds(off, far_tile)]
-        dax, day, daz = _pair_accum(xi, yi, zi, fx, fy, fz, fm, soft_sq)
-        return ax + dax, ay + day, az + daz
+        def tile_body(t, carry):
+            ax, ay, az = carry
+            off = pl.multiple_of(t * tile, tile)
+            fx = ref[0, 0:1, pl.ds(off, tile)]
+            fy = ref[0, 1:2, pl.ds(off, tile)]
+            fz = ref[0, 2:3, pl.ds(off, tile)]
+            fm = ref[0, 3:4, pl.ds(off, tile)]
+            dax, day, daz = _pair_accum(xi, yi, zi, fx, fy, fz, fm,
+                                        soft_sq)
+            return ax + dax, ay + day, az + daz
 
-    ax, ay, az = jax.lax.fori_loop(0, n_tiles, tile_body, (ax, ay, az))
+        return jax.lax.fori_loop(0, n_tiles, tile_body, carry)
+
+    ax, ay, az = list_loop(far_ref, far_n_ref[g], (ax, ay, az))
+    ax, ay, az = list_loop(shared_ref, shared_n_ref[g // supergroup],
+                           (ax, ay, az))
 
     out_ref[:, :] = jnp.concatenate(
         [ax * G, ay * G, az * G, jnp.zeros((gsz, 5), jnp.float32)], axis=1)
@@ -92,10 +100,11 @@ def _eval_kernel(far_n_ref, gpos_ref, *window_and_far, soft_sq, G, gsz,
 @functools.partial(
     jax.jit,
     static_argnames=("G", "softening", "group_size", "window_groups",
-                     "far_tile"))
-def pallas_window_eval(s_pos, s_mass, far4, far_n, *, G, softening,
-                       group_size=512, window_groups=3, far_tile=512):
-    """Fused near-window + far-list accelerations.
+                     "far_tile", "supergroup"))
+def pallas_window_eval(s_pos, s_mass, far4, far_n, shared4, shared_n, *,
+                       G, softening, group_size=512, window_groups=3,
+                       far_tile=512, supergroup=1):
+    """Fused near-window + far-list (+ supergroup-shared) accelerations.
 
     Args:
       s_pos: ``(3, npad)`` f32 sorted positions (npad multiple of group).
@@ -103,6 +112,9 @@ def pallas_window_eval(s_pos, s_mass, far4, far_n, *, G, softening,
       far4: ``(ng, 4, L)`` f32 frozen far entries [x, y, z, mass] with the
         COM already advanced to the current step.
       far_n: ``(ng,)`` int32 actual entry counts.
+      shared4: ``(nsg, 4, Ls)`` f32 supergroup-shared entries.
+      shared_n: ``(nsg,)`` int32.
+      supergroup: groups per supergroup (g -> shared row g // supergroup).
     Returns:
       ``(3, npad)`` f32 accelerations in sorted order.
     """
@@ -111,7 +123,9 @@ def pallas_window_eval(s_pos, s_mass, far4, far_n, *, G, softening,
     npad = s_pos.shape[1]
     ng = npad // gsz
     L = far4.shape[2]
+    Ls = shared4.shape[2]
     soft_sq = float(softening) ** 2
+    S = supergroup
 
     pos8 = jnp.concatenate(
         [s_pos, s_mass[None, :], jnp.zeros((4, npad), jnp.float32)], axis=0)
@@ -120,7 +134,7 @@ def pallas_window_eval(s_pos, s_mass, far4, far_n, *, G, softening,
     gpos_t = pos8.T                              # (npad, 8): bodies-major
 
     n_window = 2 * wg + 1
-    # Index maps receive (grid index, scalar-prefetch ref) — ignore latter.
+    # Index maps receive (grid index, scalar-prefetch refs) — ignored.
     in_specs = [pl.BlockSpec((gsz, 8), lambda g, *_: (g, 0),
                              memory_space=pltpu.VMEM)]
     for k in range(n_window):
@@ -129,22 +143,24 @@ def pallas_window_eval(s_pos, s_mass, far4, far_n, *, G, softening,
             memory_space=pltpu.VMEM))
     in_specs.append(pl.BlockSpec((1, 4, L), lambda g, *_: (g, 0, 0),
                                  memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((1, 4, Ls), lambda g, *_: (g // S, 0, 0),
+                                 memory_space=pltpu.VMEM))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(ng,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((gsz, 8), lambda g, *_: (g, 0),
                                memory_space=pltpu.VMEM),
     )
 
-    def kernel(far_n_ref, gpos_ref, *rest):
-        _eval_kernel(far_n_ref, gpos_ref, *rest,
+    def kernel(far_n_ref, shared_n_ref, gpos_ref, *rest):
+        _eval_kernel(far_n_ref, shared_n_ref, gpos_ref, *rest,
                      soft_sq=soft_sq, G=float(G), gsz=gsz,
-                     far_tile=far_tile, n_window=n_window)
+                     far_tile=far_tile, n_window=n_window, supergroup=S)
 
     interpret = jax.default_backend() != "tpu"
-    avg_pairs = gsz * (n_window * gsz + L)
+    avg_pairs = gsz * (n_window * gsz + L + Ls)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -154,6 +170,6 @@ def pallas_window_eval(s_pos, s_mass, far4, far_n, *, G, softening,
             bytes_accessed=npad * 8 * 4 + ng * 4 * L * 4,
             transcendentals=int(ng) * avg_pairs),
         interpret=interpret,
-    )(far_n, gpos_t, *([pos8_winpad] * n_window), far4)
+    )(far_n, shared_n, gpos_t, *([pos8_winpad] * n_window), far4, shared4)
 
     return out[:, :3].T

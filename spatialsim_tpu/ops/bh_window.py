@@ -52,10 +52,15 @@ class BHLists(NamedTuple):
 
     order: jax.Array        # (Npad,) int32 sort permutation (pad: last body)
     inv_order: jax.Array    # (N,) int32 original index -> sorted slot
-    far: jax.Array          # (ng, L, 8) f32 [com0 xyz, v0 xyz, mass, 0]
+    far: jax.Array          # (ng, 8, L) f32 rows [com0 xyz, v0 xyz, m, 0]
     far_n: jax.Array        # (ng,) int32 actual entry counts
+    shared: jax.Array       # (nsg, 8, Ls) f32 supergroup-shared entries
+    shared_n: jax.Array     # (nsg,) int32
     ref_pos: jax.Array      # (3, N) positions at build (drift detection)
     steps_since: jax.Array  # () int32 steps since build
+    # NOTE: entries are rows-major-8 x entries-minor so the minor (lane)
+    # dimension is the large one — (entries, 8) layouts pad 8 -> 128 on
+    # TPU (16x HBM blowup).
 
 
 def _exclusive_cumsum(x):
@@ -69,9 +74,116 @@ def _exclusive_cumsum(x):
 SLIVER_CAP = 64  # >= 4 emissions/level x levels; deterministic bound
 
 
+def _traverse_coarse(sgidx, bbox_min, bbox_max, tree, *, theta, soft_sq,
+                     skin, gsz, groups_per_sg, window_groups, shared_cap,
+                     coarse_levels, frontier_cap, out_frontier_cap):
+    """Phase A: one supergroup's coarse traversal (levels 2..deep-1).
+
+    Amortizes the coarse levels over ``groups_per_sg`` sibling groups:
+    cells far from the WHOLE supergroup are θ-accepted once into a shared
+    list; everything else (including anything intersecting the union of
+    the member groups' windows) stays open and is handed to the per-group
+    deep phase as its starting frontier.
+    """
+    F = frontier_cap
+    lo = (sgidx * groups_per_sg - window_groups) * gsz
+    hi = ((sgidx + 1) * groups_per_sg + window_groups) * gsz
+
+    levels = tree.levels
+    c0 = levels[0].code.shape[0]
+    init = jnp.arange(F, dtype=jnp.int32)
+    frontier = jnp.where(init < jnp.minimum(c0, levels[0].n_cells), init, -1)
+
+    shared = jnp.zeros((shared_cap, 8), jnp.float32)
+    shared_n = jnp.int32(0)
+    theta_sq = theta * theta
+    bbox_min = bbox_min - skin
+    bbox_max = bbox_max + skin
+
+    for li in range(coarse_levels):
+        lv = levels[li]
+        level = tree.start_level + li
+        side = 2.0 * tree.half / (2 ** level)
+
+        valid = frontier >= 0
+        idx = jnp.clip(frontier, 0, lv.code.shape[0] - 1)
+        ccom = lv.com[:, idx]
+        cvel = lv.vel[:, idx]
+        cmass = jnp.where(valid, lv.mass[idx], 0.0)
+        ccount = jnp.where(valid, lv.count[idx], 0)
+        cstart = jnp.where(valid, lv.body_start[idx], 0)
+        cend = cstart + ccount
+        vals8 = jnp.concatenate(
+            [ccom.T, cvel.T, cmass[:, None],
+             jnp.zeros((cmass.shape[0], 1), jnp.float32)], axis=1)
+
+        # Anything touching the union window span must reach phase B.
+        outside_span = valid & ((cend <= lo) | (cstart >= hi))
+
+        gap = jnp.maximum(bbox_min[:, None] - ccom, ccom - bbox_max[:, None])
+        gap = jnp.maximum(gap, 0.0)
+        dmin_sq = jnp.sum(gap * gap, axis=0) + soft_sq
+        theta_ok = side * side < theta_sq * dmin_sq
+
+        emit = outside_span & (theta_ok | (ccount <= 1))
+        open_ = valid & ~emit
+
+        pos = shared_n + _exclusive_cumsum(emit.astype(jnp.int32))
+        slot = jnp.where(emit & (pos < shared_cap), pos, shared_cap)
+        shared = shared.at[slot, :].set(vals8, mode="drop")
+        shared_n = jnp.minimum(
+            shared_n + jnp.sum(emit.astype(jnp.int32)), shared_cap)
+
+        F_next = F if li + 1 < coarse_levels else out_frontier_cap
+        cc = jnp.where(open_, lv.child_count[idx], 0)
+        # Prioritized compaction, three classes:
+        #   1. span-touching cells MUST reach phase B (a coarse emission
+        #      could double count some member's window bodies);
+        #   2. geometrically-close cells (dmin < side/θ', θ' = 2θ) should
+        #      keep descending — their monopole error is unbounded;
+        #   3. quasi-acceptable far cells claim slots last; on overflow
+        #      THEY get emitted coarse, with criterion violation bounded
+        #      to the θ..2θ band.
+        touch = open_ & ~outside_span
+        close = open_ & ~touch \
+            & (side * side >= (4.0 * theta_sq) * dmin_sq)
+        rest = open_ & ~touch & ~close
+
+        def ordered_offsets(masks):
+            offs = jnp.zeros_like(cc)
+            base = jnp.int32(0)
+            for mk in masks:
+                cck = jnp.where(mk, cc, 0)
+                offs = jnp.where(mk, base + _exclusive_cumsum(cck), offs)
+                base = base + jnp.sum(cck)
+            return offs
+
+        offs = ordered_offsets((touch, close, rest))
+        ovf = open_ & ~touch & (offs + cc > F_next)
+        pos = shared_n + _exclusive_cumsum(ovf.astype(jnp.int32))
+        slot = jnp.where(ovf & (pos < shared_cap), pos, shared_cap)
+        shared = shared.at[slot, :].set(vals8, mode="drop")
+        shared_n = jnp.minimum(
+            shared_n + jnp.sum(ovf.astype(jnp.int32)), shared_cap)
+        open_ = open_ & ~ovf
+        cc = jnp.where(open_, cc, 0)
+        offs = ordered_offsets((touch & open_, close & open_,
+                                rest & open_))
+        cs = jnp.where(open_, lv.child_start[idx], 0)
+        j = jnp.arange(8, dtype=jnp.int32)
+        cand = (cs[:, None] + j[None, :]).reshape(-1)
+        tpos = (offs[:, None] + j[None, :]).reshape(-1)
+        cvalid = (j[None, :] < cc[:, None]).reshape(-1)
+        tpos = jnp.where(cvalid, tpos, F_next)
+        frontier = jnp.full((F_next,), -1, jnp.int32).at[tpos].set(
+            cand, mode="drop")
+
+    return shared, shared_n, frontier
+
+
 def _traverse_emit(gidx, bbox_min, bbox_max, tree, *, theta, soft_sq,
                    skin, gsz, window_groups, list_cap, n_levels,
-                   frontier_caps):
+                   frontier_caps, init_frontier=None, start_li=0):
     """One group's traversal.
 
     Emits far entries as frozen moment VALUES ``[com, vel, mass, 0]``
@@ -86,10 +198,14 @@ def _traverse_emit(gidx, bbox_min, bbox_max, tree, *, theta, soft_sq,
     hi = (gidx + window_groups + 1) * gsz
 
     levels = tree.levels
-    F0 = frontier_caps[0]
-    c0 = levels[0].code.shape[0]
-    init = jnp.arange(F0, dtype=jnp.int32)
-    frontier = jnp.where(init < jnp.minimum(c0, levels[0].n_cells), init, -1)
+    if init_frontier is None:
+        F0 = frontier_caps[0]
+        c0 = levels[0].code.shape[0]
+        init = jnp.arange(F0, dtype=jnp.int32)
+        frontier = jnp.where(init < jnp.minimum(c0, levels[0].n_cells),
+                             init, -1)
+    else:
+        frontier = init_frontier
 
     far_vals = jnp.zeros((list_cap, 8), jnp.float32)
     far_n = jnp.int32(0)
@@ -119,7 +235,7 @@ def _traverse_emit(gidx, bbox_min, bbox_max, tree, *, theta, soft_sq,
             sl_n = sl_n + jnp.sum(take.astype(jnp.int32))
         return sl_start, sl_end, sl_n
 
-    for li in range(n_levels):
+    for li in range(start_li, n_levels):
         lv = levels[li]
         level = tree.start_level + li
         side = 2.0 * tree.half / (2 ** level)
@@ -163,7 +279,25 @@ def _traverse_emit(gidx, bbox_min, bbox_max, tree, *, theta, soft_sq,
 
         if not last:
             cc = jnp.where(open_, lv.child_count[idx], 0)
-            offs = _exclusive_cumsum(cc)
+            # Priority compaction (see _traverse_coarse): straddlers must
+            # descend, close cells next, quasi-acceptable far cells last —
+            # overflow then degrades only bounded-error cells.
+            p_straddle = open_ & straddle
+            p_close = open_ & ~straddle \
+                & (side * side >= (4.0 * theta_sq) * dmin_sq)
+            p_rest = open_ & ~straddle & ~p_close
+
+            def ordered_offsets(masks):
+                offs = jnp.zeros_like(cc)
+                base = jnp.int32(0)
+                for mk in masks:
+                    cck = jnp.where(mk, cc, 0)
+                    offs = jnp.where(mk, base + _exclusive_cumsum(cck),
+                                     offs)
+                    base = base + jnp.sum(cck)
+                return offs
+
+            offs = ordered_offsets((p_straddle, p_close, p_rest))
             ovf = open_ & (offs + cc > F_next)
             # Frontier overflow degrades to the parent's monopole (values
             # for wholly-outside cells, clipped ranges for straddlers).
@@ -173,7 +307,8 @@ def _traverse_emit(gidx, bbox_min, bbox_max, tree, *, theta, soft_sq,
                 ovf & straddle, cstart, cend, sl_start, sl_end, sl_n)
             open_ = open_ & ~ovf
             cc = jnp.where(open_, cc, 0)
-            offs = _exclusive_cumsum(cc)
+            offs = ordered_offsets((p_straddle & open_, p_close & open_,
+                                    p_rest & open_))
             cs = jnp.where(open_, lv.child_start[idx], 0)
             j = jnp.arange(8, dtype=jnp.int32)
             cand = (cs[:, None] + j[None, :]).reshape(-1)
@@ -186,23 +321,246 @@ def _traverse_emit(gidx, bbox_min, bbox_max, tree, *, theta, soft_sq,
     return far_vals, far_n, sl_start, sl_end, sl_n
 
 
+def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
+                     gsz, window_groups, list_cap, n_levels, wl_caps):
+    """Global-worklist traversal: all (group, cell) pairs of one level in
+    one flat, group-major list.
+
+    Unlike the per-group frontier (whose static capacity must cover the
+    *densest* group, taxing every other group ~10x), the worklist's
+    capacity bounds the TOTAL work per level — cost is proportional to
+    actual visited pairs.  Group-major ordering is preserved through
+    expansion, so per-group emission ranks fall out of one global
+    cumulative sum plus segment bases.  Capacity overflow (global,
+    generous) folds entries into a per-group mass-conserving residual
+    monopole instead of dropping them.
+
+    Returns (far_vals (ng, L, 8), far_n, sl_start, sl_end, sl_n).
+    """
+    levels = tree.levels
+    theta_sq = theta * theta
+    L = list_cap
+    bbox_min = (bbox_min - skin).T              # (3, ng)
+    bbox_max = (bbox_max + skin).T
+
+    # Columnar storage throughout: (W,) and (ng*L,) flat vectors only.
+    # Row-major (W, k) arrays tile as T(8,128) on TPU and pad the tiny
+    # minor dimension up to 43x — both a memory and bandwidth disaster.
+    far_cols = [jnp.zeros((ng * L,), jnp.float32) for _ in range(7)]
+    far_n = jnp.zeros((ng,), jnp.int32)
+    sl_start = jnp.zeros((ng * SLIVER_CAP,), jnp.int32)
+    sl_end = jnp.zeros((ng * SLIVER_CAP,), jnp.int32)
+    sl_n = jnp.zeros((ng,), jnp.int32)
+    # Residual accumulators: m, m*com, m*vel — 7 flat (ng,) columns.
+    res_cols = [jnp.zeros((ng,), jnp.float32) for _ in range(7)]
+
+    # Init: every group x every start-level cell, group-major.
+    c0 = levels[0].code.shape[0]
+    W0 = wl_caps[0]
+    per_g = min(c0, W0 // ng) if ng * c0 > W0 else c0
+    wl_g = jnp.repeat(jnp.arange(ng, dtype=jnp.int32), per_g)
+    wl_c = jnp.tile(jnp.arange(per_g, dtype=jnp.int32), ng)
+    wl_c = jnp.where(wl_c < levels[0].n_cells, wl_c, -1)
+    pad_to = ng * per_g
+    wl_n = jnp.int32(pad_to)
+    if pad_to < W0:
+        # Tail padding sorts AFTER every real group (keeps wl_g sorted
+        # for the segment-base searchsorted).
+        wl_g = jnp.pad(wl_g, (0, W0 - pad_to), constant_values=ng)
+        wl_c = jnp.pad(wl_c, (0, W0 - pad_to), constant_values=-1)
+
+    wl_sizes = [wl_n]
+    for li in range(n_levels):
+        lv = levels[li]
+        level = tree.start_level + li
+        side = 2.0 * tree.half / (2 ** level)
+        last = li == n_levels - 1
+        W = wl_g.shape[0]
+
+        active = (jnp.arange(W) < wl_n) & (wl_c >= 0)
+        cidx = jnp.clip(wl_c, 0, lv.code.shape[0] - 1)
+        gidx = jnp.clip(wl_g, 0, ng - 1)
+        ccom = lv.com[:, cidx]                     # (3, W)
+        cvel = lv.vel[:, cidx]
+        cmass = jnp.where(active, lv.mass[cidx], 0.0)
+        ccount = jnp.where(active, lv.count[cidx], 0)
+        cstart = jnp.where(active, lv.body_start[cidx], 0)
+        cend = cstart + ccount
+        # Columnar entry values: [cx, cy, cz, vx, vy, vz, mass].
+        vals7 = (ccom[0], ccom[1], ccom[2], cvel[0], cvel[1], cvel[2],
+                 cmass)
+
+        lo = (gidx - window_groups) * gsz
+        hi = (gidx + window_groups + 1) * gsz
+        in_window = active & (cstart >= lo) & (cend <= hi)
+        straddle = active & ~in_window & (cstart < hi) & (cend > lo)
+        outside = active & ~in_window & ~straddle
+
+        gmin = bbox_min[:, gidx]
+        gmax = bbox_max[:, gidx]
+        gap = jnp.maximum(gmin - ccom, ccom - gmax)
+        gap = jnp.maximum(gap, 0.0)
+        dmin_sq = jnp.sum(gap * gap, axis=0) + soft_sq
+        theta_ok = side * side < theta_sq * dmin_sq
+
+        emit_val = outside & (theta_ok | (ccount <= 1))
+        emit_sl = straddle & (ccount <= 1)
+        if last:
+            emit_val = emit_val | (outside & ~emit_val)
+            emit_sl = emit_sl | (straddle & ~emit_sl)
+            open_ = jnp.zeros_like(active)
+        else:
+            open_ = ((outside & ~emit_val) | (straddle & ~emit_sl)) \
+                & (ccount > 1)
+
+        # Per-group emission ranks from one global cumsum + segment bases
+        # (wl_g is sorted, so each group's entries are one contiguous run).
+        seg_start = jnp.searchsorted(wl_g, jnp.arange(ng, dtype=jnp.int32),
+                                     side="left").astype(jnp.int32)
+
+        def scatter_emit(mask, far_cols, far_n, res_cols):
+            em = mask.astype(jnp.int32)
+            excl = jnp.cumsum(em) - em
+            base = excl[jnp.clip(seg_start, 0, W - 1)]       # (ng,)
+            local = far_n[gidx] + (excl - base[gidx])
+            ok = mask & (local < L - 1)
+            flat = jnp.where(ok, gidx * L + local, ng * L)
+            far_cols = [fc.at[flat].set(v, mode="drop")
+                        for fc, v in zip(far_cols, vals7)]
+            # Overflow folds into the mass-conserving residual.  The
+            # scatters still process all W updates, so gate the whole
+            # thing on overflow actually occurring (it's the rare path).
+            over = mask & ~ok
+
+            def add_residual(res_cols):
+                w = jnp.where(over, cmass, 0.0)
+                res_idx = jnp.where(over, gidx, ng)
+                contribs = (w, ccom[0] * w, ccom[1] * w, ccom[2] * w,
+                            cvel[0] * w, cvel[1] * w, cvel[2] * w)
+                return [rc.at[res_idx].add(c, mode="drop")
+                        for rc, c in zip(res_cols, contribs)]
+
+            res_cols = jax.lax.cond(jnp.any(over), add_residual,
+                                    lambda rs: rs, res_cols)
+            counts = jax.ops.segment_sum(ok.astype(jnp.int32), gidx,
+                                         num_segments=ng)
+            return far_cols, jnp.minimum(far_n + counts, L - 1), res_cols
+
+        def scatter_sliver(mask, s, e, sl_state):
+            def do(sl_state):
+                sl_start, sl_end, sl_n = sl_state
+                for ps, pe in ((s, jnp.minimum(e, lo)),
+                               (jnp.maximum(s, hi), e)):
+                    take = mask & (pe > ps)
+                    em = take.astype(jnp.int32)
+                    excl = jnp.cumsum(em) - em
+                    base = excl[jnp.clip(seg_start, 0, W - 1)]
+                    local = sl_n[gidx] + (excl - base[gidx])
+                    ok = take & (local < SLIVER_CAP)
+                    flat = jnp.where(ok, gidx * SLIVER_CAP + local,
+                                     ng * SLIVER_CAP)
+                    sl_start = sl_start.at[flat].set(ps, mode="drop")
+                    sl_end = sl_end.at[flat].set(pe, mode="drop")
+                    counts = jax.ops.segment_sum(ok.astype(jnp.int32),
+                                                 gidx, num_segments=ng)
+                    sl_n = jnp.minimum(sl_n + counts, SLIVER_CAP)
+                return sl_start, sl_end, sl_n
+            # Slivers are rare (bounded per level); skip the scatters
+            # entirely on the common path.
+            return jax.lax.cond(jnp.any(mask), do, lambda s: s, sl_state)
+
+        if not last:
+            W_next = wl_caps[li + 1]
+            cc = jnp.where(open_, lv.child_count[cidx], 0)
+            base_pos = jnp.cumsum(cc) - cc
+            # Worklist overflow: whole entries degrade (values/slivers).
+            ovf = open_ & (base_pos + cc > W_next)
+            emit_val = emit_val | (ovf & outside)
+            emit_sl = emit_sl | (ovf & straddle)
+
+        far_cols, far_n, res_cols = scatter_emit(
+            emit_val, far_cols, far_n, res_cols)
+        sl_start, sl_end, sl_n = scatter_sliver(
+            emit_sl, cstart, cend, (sl_start, sl_end, sl_n))
+
+        if not last:
+            # Children of overflowed entries are invalidated in place (the
+            # slot gaps stay inactive) — avoids a second cumsum pass.
+            cs = jnp.where(open_, lv.child_start[cidx], 0)
+            j = jnp.arange(8, dtype=jnp.int32)
+            cand_c = (cs[:, None] + j[None, :]).reshape(-1)
+            cand_g = jnp.broadcast_to(wl_g[:, None], (W, 8)).reshape(-1)
+            tpos = (base_pos[:, None] + j[None, :]).reshape(-1)
+            has_child = (j[None, :] < cc[:, None]).reshape(-1)
+            live = has_child & ~jnp.broadcast_to(
+                ovf[:, None], (W, 8)).reshape(-1)
+            # Gap slots (overflowed entries' children) still get their
+            # group id so wl_g stays sorted for the segment bases; their
+            # cell stays -1 (inactive).
+            wl_g = jnp.full((W_next,), ng, jnp.int32).at[
+                jnp.where(has_child, tpos, W_next)].set(
+                cand_g, mode="drop")
+            wl_c = jnp.full((W_next,), -1, jnp.int32).at[
+                jnp.where(live, tpos, W_next)].set(cand_c, mode="drop")
+            wl_n = jnp.minimum(base_pos[-1] + cc[-1], W_next)
+            wl_sizes.append(wl_n)
+
+    # Assemble the (ng, 8, L) eval tensor (entries on the minor/lane dim).
+    far = jnp.stack(
+        [fc.reshape(ng, L) for fc in far_cols]
+        + [jnp.zeros((ng, L), jnp.float32)], axis=1)          # (ng, 8, L)
+    res = jnp.stack(res_cols, axis=1)                         # (ng, 7)
+    return (far, far_n, sl_start.reshape(ng, SLIVER_CAP),
+            sl_end.reshape(ng, SLIVER_CAP), sl_n, res,
+            jnp.stack(wl_sizes))
+
+
+def _default_wl_caps(ng: int, n_levels: int, budget: int):
+    """Per-level worklist capacities.
+
+    Shape measured at 1M bodies (galaxy, θ=0.8): coarse levels sit near
+    the ng x 64 init size, demand ramps from level ~6 and peaks at the
+    deepest levels — fractions below mirror that profile.
+    """
+    frac = [0.08, 0.08, 0.08, 0.08, 0.2, 0.45] + [1.0] * max(
+        0, n_levels - 6)
+    caps = []
+    for li in range(n_levels):
+        f = frac[li] if li < len(frac) else 1.0
+        caps.append(int(max(ng * 8, f * budget)))
+    return tuple(caps)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("theta", "softening", "skin", "max_depth", "group_size",
                      "window_groups", "list_cap", "group_chunk",
-                     "frontier_cap", "deep_frontier_cap", "deep_level"))
+                     "frontier_cap", "deep_frontier_cap", "deep_level",
+                     "supergroup", "shared_cap", "build_mode",
+                     "worklist_budget"))
 def build_lists(pos, vel, mass, *, theta, softening, skin=4.0, max_depth=10,
                 group_size=256, window_groups=3, list_cap=2048,
                 group_chunk=128, frontier_cap=512, deep_frontier_cap=256,
-                deep_level=7):
-    """Morton-sort + octree + traversal -> :class:`BHLists`."""
+                deep_level=7, supergroup=1, shared_cap=2048,
+                build_mode="global", worklist_budget=0):
+    """Morton-sort + octree + traversal -> :class:`BHLists`.
+
+    ``build_mode="global"`` (default) uses the global-worklist traversal
+    (cost proportional to actual visited pairs — the right shape for
+    skewed densities).  ``"pergroup"`` keeps the per-group frontier
+    variant; with ``supergroup > 1`` its coarse levels run once per
+    supergroup (phase A) into a shared list — an experimental layout
+    whose frontier demand explodes for dense cores, kept for study.
+    """
     n = pos.shape[1]
     gsz = group_size
     half = compute_bounds(pos)
     codes = morton_encode(pos, half, max_depth)
     order = jnp.argsort(codes).astype(jnp.int32)
 
-    npad = ((n + gsz - 1) // gsz) * gsz
+    S = max(1, supergroup)
+    block = gsz * S
+    npad = ((n + block - 1) // block) * block
     pad = npad - n
     order_pad = jnp.concatenate(
         [order, jnp.broadcast_to(order[-1], (pad,))])
@@ -227,26 +585,89 @@ def build_lists(pos, vel, mass, *, theta, softening, skin=4.0, max_depth=10,
     bbox_min = jnp.min(gpos, axis=2).T
     bbox_max = jnp.max(gpos, axis=2).T
 
-    emit = functools.partial(
-        _traverse_emit, tree=tree, theta=float(theta),
-        soft_sq=float(softening) ** 2, skin=float(skin), gsz=gsz,
-        window_groups=window_groups, list_cap=list_cap, n_levels=n_levels,
-        frontier_caps=frontier_caps)
-    vemit = jax.vmap(emit)
+    coarse_levels = deep_level - start_level
+    two_phase = build_mode == "pergroup" and S > 1 \
+        and 0 < coarse_levels < n_levels
 
-    chunk = min(group_chunk, ng)
-    if ng % chunk != 0:
-        chunk = ng
-    gi = jnp.arange(ng, dtype=jnp.int32).reshape(ng // chunk, chunk)
-    bmin = bbox_min.reshape(ng // chunk, chunk, 3)
-    bmax = bbox_max.reshape(ng // chunk, chunk, 3)
-    fv, fn, sls, sle, sln = jax.lax.map(lambda a: vemit(*a),
-                                        (gi, bmin, bmax))
-    far = fv.reshape(ng, list_cap, 8)
+    common = dict(tree=tree, theta=float(theta),
+                  soft_sq=float(softening) ** 2, skin=float(skin), gsz=gsz,
+                  window_groups=window_groups)
+
+    if build_mode == "global":
+        budget = worklist_budget or min(6_000_000, max(262_144, 5 * npad))
+        wl_caps = _default_wl_caps(ng, n_levels, budget)
+        far, far_n, sl_start, sl_end, sl_n, res, _wl = _traverse_global(
+            tree, bbox_min, bbox_max, ng, theta=float(theta),
+            soft_sq=float(softening) ** 2, skin=float(skin), gsz=gsz,
+            window_groups=window_groups, list_cap=list_cap,
+            n_levels=n_levels, wl_caps=wl_caps)
+        shared = jnp.zeros((1, 8, 128), jnp.float32)
+        shared_n = jnp.zeros((1,), jnp.int32)
+        return _finish_lists(far, far_n, sl_start, sl_end, sl_n, res,
+                             shared, shared_n, s_pos, s_vel, s_mass, order,
+                             order_pad, pos, n, list_cap)
+
+    def mapped(fn, args, chunk):
+        m = args[0].shape[0]
+        c = min(chunk, m)
+        if m % c != 0:
+            c = m
+        parts = tuple(a.reshape((m // c, c) + a.shape[1:]) for a in args)
+        out = jax.lax.map(lambda xs: jax.vmap(fn)(*xs), parts)
+        return tuple(o.reshape((m,) + o.shape[2:]) for o in out)
+
+    if two_phase:
+        nsg = ng // S
+        sgb_min = bbox_min.reshape(nsg, S, 3).min(axis=1)
+        sgb_max = bbox_max.reshape(nsg, S, 3).max(axis=1)
+        coarse = functools.partial(
+            _traverse_coarse, groups_per_sg=S, shared_cap=shared_cap,
+            coarse_levels=coarse_levels, frontier_cap=frontier_cap,
+            out_frontier_cap=frontier_cap, **common)
+        shared, shared_n, mid = mapped(
+            coarse,
+            (jnp.arange(nsg, dtype=jnp.int32), sgb_min, sgb_max),
+            max(1, group_chunk // S))
+        init_frontier = jnp.repeat(mid, S, axis=0)        # (ng, F)
+        emit = functools.partial(
+            _traverse_emit, list_cap=list_cap, n_levels=n_levels,
+            frontier_caps=frontier_caps, start_li=coarse_levels, **common)
+        fv, fn, sls, sle, sln = mapped(
+            lambda gi, bmin, bmax, fr: emit(gi, bmin, bmax,
+                                            init_frontier=fr),
+            (jnp.arange(ng, dtype=jnp.int32), bbox_min, bbox_max,
+             init_frontier), group_chunk)
+    else:
+        nsg = 1
+        shared = jnp.zeros((1, 8, 128), jnp.float32)
+        shared_n = jnp.zeros((1,), jnp.int32)
+        emit = functools.partial(
+            _traverse_emit, list_cap=list_cap, n_levels=n_levels,
+            frontier_caps=frontier_caps, **common)
+        fv, fn, sls, sle, sln = mapped(
+            emit, (jnp.arange(ng, dtype=jnp.int32), bbox_min, bbox_max),
+            group_chunk)
+
+    far = fv.reshape(ng, list_cap, 8).transpose(0, 2, 1)   # -> (ng, 8, L)
+    if two_phase:
+        shared = shared.reshape(nsg, -1, 8).transpose(0, 2, 1)
     far_n = fn.reshape(ng)
     sl_start = sls.reshape(ng, SLIVER_CAP)
     sl_end = sle.reshape(ng, SLIVER_CAP)
     sl_n = sln.reshape(ng)
+    res = jnp.zeros((ng, 7), jnp.float32)
+    return _finish_lists(far, far_n, sl_start, sl_end, sl_n, res, shared,
+                         shared_n, s_pos, s_vel, s_mass, order, order_pad,
+                         pos, n, list_cap)
+
+
+def _finish_lists(far, far_n, sl_start, sl_end, sl_n, res, shared, shared_n,
+                  s_pos, s_vel, s_mass, order, order_pad, pos, n, list_cap):
+    """Sliver moments + residual entry + BHLists assembly.
+
+    ``far``/``shared`` use the (groups, 8, entries) layout.
+    """
+    ng = far.shape[0]
 
     # Sliver moments (window-boundary fragments) from prefix sums; tiny
     # gather (ng x SLIVER_CAP x 2 x 7).
@@ -262,20 +683,42 @@ def build_lists(pos, vel, mass, *, theta, softening, skin=4.0, max_depth=10,
     svals = jnp.stack([
         seg[1] * sinv, seg[2] * sinv, seg[3] * sinv,
         seg[4] * sinv, seg[5] * sinv, seg[6] * sinv,
-        sm, jnp.zeros_like(sm)], axis=-1)                       # (ng, SC, 8)
+        sm, jnp.zeros_like(sm)], axis=1)                        # (ng, 8, SC)
 
-    # Append slivers to the far lists.
-    def append(fv, fn, sv, sn):
+    # Append slivers to the far lists (slot list_cap-1 stays reserved for
+    # the residual; sliver overflow folds into the residual too).
+    def append(fv, fn, sv, sn, rs):
+        # fv (8, L); sv (8, SC); rs (7,)
         k = jnp.arange(SLIVER_CAP, dtype=jnp.int32)
-        slot = jnp.where((k < sn) & (fn + k < list_cap), fn + k, list_cap)
-        return (fv.at[slot, :].set(sv, mode="drop"),
-                jnp.minimum(fn + sn, list_cap))
-    far, far_n = jax.vmap(append)(far, far_n, svals, sl_n)
+        take = k < sn
+        fits = take & (fn + k < list_cap - 1)
+        slot = jnp.where(fits, fn + k, list_cap)
+        fv = fv.at[:, slot].set(sv, mode="drop")
+        over = take & ~fits
+        om = jnp.where(over, sv[6, :], 0.0)
+        rs = rs + jnp.concatenate([
+            jnp.sum(om)[None],
+            jnp.sum(sv[0:3, :] * om[None, :], axis=1),
+            jnp.sum(sv[3:6, :] * om[None, :], axis=1)])
+        return fv, jnp.minimum(fn + sn, list_cap - 1), rs
+    far, far_n, res = jax.vmap(append)(far, far_n, svals, sl_n, res)
+
+    # Residual -> one entry in the reserved last slot.
+    res_m = res[:, 0]
+    has_res = res_m > 0
+    inv_m = jnp.where(has_res, 1.0 / jnp.maximum(res_m, 1e-30), 0.0)
+    res_entry = jnp.concatenate(
+        [res[:, 1:4] * inv_m[:, None], res[:, 4:7] * inv_m[:, None],
+         res_m[:, None], jnp.zeros((ng, 1), jnp.float32)], axis=1)  # (ng, 8)
+    far = far.at[:, :, list_cap - 1].set(
+        jnp.where(has_res[:, None], res_entry, far[:, :, list_cap - 1]))
+    far_n = jnp.where(has_res, list_cap, far_n)
 
     inv_order = jnp.zeros((n,), jnp.int32).at[order].set(
         jnp.arange(n, dtype=jnp.int32))
     return BHLists(order=order_pad, inv_order=inv_order,
                    far=far.astype(jnp.float32), far_n=far_n,
+                   shared=shared.astype(jnp.float32), shared_n=shared_n,
                    ref_pos=pos, steps_since=jnp.int32(0))
 
 
@@ -345,15 +788,20 @@ def eval_accel(lists: BHLists, pos, mass, dt, *, G, softening,
     pad_mask = jnp.arange(npad) >= n
     s_mass = jnp.where(pad_mask, 0.0, mass[lists.order])
 
+    nsg = lists.shared.shape[0]
+    S_eff = max(1, ng // nsg)
+
     if use_pallas:
         from spatialsim_tpu.ops.bh_eval_kernel import pallas_window_eval
         tau_ = lists.steps_since.astype(jnp.float32) * dt
-        fpos = lists.far[..., 0:3] + lists.far[..., 3:6] * tau_
-        far4 = jnp.concatenate(
-            [fpos, lists.far[..., 6:7]], axis=-1).transpose(0, 2, 1)
+        fpos = lists.far[:, 0:3, :] + lists.far[:, 3:6, :] * tau_
+        far4 = jnp.concatenate([fpos, lists.far[:, 6:7, :]], axis=1)
+        spos = lists.shared[:, 0:3, :] + lists.shared[:, 3:6, :] * tau_
+        shared4 = jnp.concatenate([spos, lists.shared[:, 6:7, :]], axis=1)
         acc_sorted = pallas_window_eval(
-            s_pos, s_mass, far4, lists.far_n, G=Gf, softening=softening,
-            group_size=gsz, window_groups=window_groups)
+            s_pos, s_mass, far4, lists.far_n, shared4, lists.shared_n,
+            G=Gf, softening=softening, group_size=gsz,
+            window_groups=window_groups, supergroup=S_eff)
         return acc_sorted[:, lists.inv_order]
 
     gpos = jnp.moveaxis(s_pos.reshape(3, ng, gsz), 1, 0)      # (ng, 3, gsz)
@@ -362,18 +810,25 @@ def eval_accel(lists: BHLists, pos, mass, dt, *, G, softening,
 
     tau = lists.steps_since.astype(jnp.float32) * dt
     far = lists.far
-    far_pos = (far[..., 0:3] + far[..., 3:6] * tau).transpose(0, 2, 1)
+    far_pos = far[:, 0:3, :] + far[:, 3:6, :] * tau           # (ng, 3, L)
     far_pos_c = far_pos - center
-    far_mass = far[..., 6]                                    # (ng, L)
+    far_mass = far[:, 6, :]                                   # (ng, L)
+
+    shr = lists.shared
+    shr_pos = jnp.repeat(shr[:, 0:3, :] + shr[:, 3:6, :] * tau,
+                         S_eff, axis=0)                       # (ng, 3, Ls)
+    shr_pos_c = shr_pos - center
+    shr_mass = jnp.repeat(shr[:, 6, :], S_eff, axis=0)
 
     src_pos, src_mass = _window_sources(s_pos, s_mass, ng, gsz,
                                         window_groups)
     src_pos_c = src_pos - center
 
     def chunk_eval(args):
-        gp, fp, fm, sp, sm = args
+        gp, fp, fm, sp, sm, hp, hm = args
         return (_dense_accel(gp, fp, fm, Gf, soft_sq)
-                + _dense_accel(gp, sp, sm, Gf, soft_sq))
+                + _dense_accel(gp, sp, sm, Gf, soft_sq)
+                + _dense_accel(gp, hp, hm, Gf, soft_sq))
 
     c = min(chunk, ng)
     if ng % c != 0:
@@ -382,7 +837,9 @@ def eval_accel(lists: BHLists, pos, mass, dt, *, G, softening,
              far_pos_c.reshape(ng // c, c, 3, -1),
              far_mass.reshape(ng // c, c, -1),
              src_pos_c.reshape(ng // c, c, 3, -1),
-             src_mass.reshape(ng // c, c, -1))
+             src_mass.reshape(ng // c, c, -1),
+             shr_pos_c.reshape(ng // c, c, 3, -1),
+             shr_mass.reshape(ng // c, c, -1))
     acc = jax.lax.map(chunk_eval, parts).reshape(ng, 3, gsz)
 
     acc_sorted = jnp.moveaxis(acc, 0, 1).reshape(3, npad)
@@ -408,7 +865,11 @@ def _build_kw(config):
                 window_groups=config.window_groups,
                 list_cap=config.list_capacity,
                 frontier_cap=config.frontier_capacity,
-                deep_frontier_cap=deep or config.frontier_capacity)
+                deep_frontier_cap=deep or config.frontier_capacity,
+                supergroup=getattr(config, "supergroup", 1),
+                shared_cap=getattr(config, "shared_capacity", 2048),
+                build_mode=getattr(config, "build_mode", "global"),
+                worklist_budget=getattr(config, "worklist_budget", 0))
 
 
 def make_window_step(config, n: int, substeps: int = 1):
