@@ -1,26 +1,27 @@
-"""spatialsim_tpu — a TPU-native 3D particle-simulation framework.
+"""spatialsim-tpu: TPU-native N-body gravity + boids flocking framework.
 
-A brand-new JAX/XLA/Pallas implementation of the capabilities of the reference
-application ``Keshav-Madhav/3d-spatial-sim-for-boid-and-nbody``:
+A ground-up JAX/XLA/Pallas re-design of
+Keshav-Madhav/3d-spatial-sim-for-boid-and-nbody (see README.md for the
+architecture).  Public surface:
 
-* **N-body gravity** — Morton-sorted linear octree Barnes-Hut (O(N log N))
-  plus a tiled Pallas all-pairs kernel for small N, semi-implicit Euler
-  integration with optional damping, velocity heat-map colouring.
-  (Reference: ``nbody/simulation.py``, ``nbody/gpu_backend.py``,
-  ``nbody/metal/*``.)
-* **Boids flocking** — separation / alignment / cohesion over a uniform
-  spatial hash grid with soft wall springs and colour blending.
-  (Reference: ``boids/flock.py``.)
-* **Offline tools** — preset catalog, 25 initial-condition distributions,
-  resumable/extendable frame recorder with zstd+delta compression, playback,
-  and video export.  (Reference: ``tools/``.)
-
-Unlike the reference (Numba/CUDA/Metal, single machine), all compute here is
-expressed as jitted XLA programs with state resident in device HBM, sharded
-across chips with ``jax.sharding`` for the 5-50M body EXTREME presets.
+    from spatialsim_tpu import NBodySimulation, Flock
+    from spatialsim_tpu.presets import PRESETS, get_preset_config
+    from spatialsim_tpu.distributions import generate_distribution
+    from spatialsim_tpu.tools import record, playback, export
 """
 
 __version__ = "0.1.0"
 
-from spatialsim_tpu.models.nbody import NBodySimulation, NBodyState  # noqa: F401
-from spatialsim_tpu.models.boids import Flock, BoidsState  # noqa: F401
+from spatialsim_tpu.distributions import (  # noqa: F401
+    DISTRIBUTIONS, generate_distribution)
+
+
+def __getattr__(name):
+    # Lazy model imports keep `import spatialsim_tpu` light (no jax init).
+    if name == "NBodySimulation":
+        from spatialsim_tpu.models.nbody import NBodySimulation
+        return NBodySimulation
+    if name == "Flock":
+        from spatialsim_tpu.models.boids import Flock
+        return Flock
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -107,19 +107,24 @@ class BaseViewer:
             pygame.display.flip()
         pygame.quit()
 
-    def _draw_points(self, positions, colors, point_size=1.5) -> None:
+    def _draw_arrays(self, positions, colors, mode, point_size=1.5) -> None:
         from OpenGL.GL import (
             glPointSize, glEnableClientState, glDisableClientState,
             glVertexPointer, glColorPointer, glDrawArrays, GL_FLOAT,
             GL_POINTS, GL_VERTEX_ARRAY, GL_COLOR_ARRAY)
-        glPointSize(point_size)
+        if mode == GL_POINTS:
+            glPointSize(point_size)
         glEnableClientState(GL_VERTEX_ARRAY)
         glEnableClientState(GL_COLOR_ARRAY)
         glVertexPointer(3, GL_FLOAT, 0, np.ascontiguousarray(positions))
         glColorPointer(3, GL_FLOAT, 0, np.ascontiguousarray(colors))
-        glDrawArrays(GL_POINTS, 0, len(positions))
+        glDrawArrays(mode, 0, len(positions))
         glDisableClientState(GL_COLOR_ARRAY)
         glDisableClientState(GL_VERTEX_ARRAY)
+
+    def _draw_points(self, positions, colors, point_size=1.5) -> None:
+        from OpenGL.GL import GL_POINTS
+        self._draw_arrays(positions, colors, GL_POINTS, point_size)
 
 
 class NBodyViewer(BaseViewer):
@@ -179,8 +184,16 @@ class BoidsViewer(BaseViewer):
         self.flock.update(dt)
 
     def draw_scene(self) -> None:
-        self._draw_points(self.flock.get_positions(),
-                          self.flock.get_colors(), 2.0)
+        # Velocity-oriented cone billboards, as in the reference's Flock
+        # renderer (boids/flock.py:730-782).
+        from OpenGL.GL import GL_TRIANGLES
+        from spatialsim_tpu.render.boid_geometry import build_boid_vertices
+        verts, cols = build_boid_vertices(
+            self.flock.get_positions(), self.flock.get_velocities(),
+            self.flock.get_colors(),
+            cone_length=self.flock.config.size * 2.0,
+            cone_radius=self.flock.config.size * 0.7)
+        self._draw_arrays(verts, cols, GL_TRIANGLES)
 
     def hud_lines(self):
         return [f"boids: {self.flock.num_boids:,}   "

@@ -116,3 +116,36 @@ def test_export_unique_naming(tmp_path):
     assert unique_output_path(base) == base
     base.write_bytes(b"")
     assert unique_output_path(base).name == "x (1).mp4"
+
+
+def test_boid_cone_geometry():
+    from spatialsim_tpu.render.boid_geometry import build_boid_vertices
+    pos = np.array([[0.0, 0.0, 0.0], [10.0, 0.0, 0.0]])
+    vel = np.array([[1.0, 0.0, 0.0], [0.0, 5.0, 0.0]])  # 2nd flies straight up
+    col = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    verts, cols = build_boid_vertices(pos, vel, col, cone_length=2.0,
+                                      cone_radius=0.5)
+    assert verts.shape == (12, 3) and cols.shape == (12, 3)
+    # Boid 0: tip 2 units along +x; both triangles share the tip.
+    np.testing.assert_allclose(verts[0], [2.0, 0.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(verts[3], verts[0], atol=1e-6)
+    # Base points at radius 0.5 from the position, perpendicular to v.
+    for k in (1, 2, 4, 5):
+        np.testing.assert_allclose(np.linalg.norm(verts[k]), 0.5, atol=1e-6)
+        assert abs(verts[k] @ np.array([1.0, 0, 0])) < 1e-6
+    # Boid 1 (vertical flyer): world-right fallback keeps the frame finite.
+    np.testing.assert_allclose(verts[6], [10.0, 2.0, 0.0], atol=1e-6)
+    assert np.isfinite(verts[6:]).all()
+    # Colors replicate per vertex.
+    np.testing.assert_allclose(cols[:6], [[1, 0, 0]] * 6)
+
+
+def test_boid_visible_filter():
+    from spatialsim_tpu.render.boid_geometry import build_boid_vertices
+    rng = np.random.default_rng(0)
+    pos = rng.normal(size=(10, 3))
+    vel = rng.normal(size=(10, 3))
+    col = rng.random((10, 3))
+    vis = np.array([1, 3, 4])
+    verts, cols = build_boid_vertices(pos, vel, col, visible=vis)
+    assert verts.shape == (18, 3)
