@@ -56,9 +56,11 @@ class NBodyConfig:
     # Drift rebuild policy: "max" rebuilds when ANY body moves > skin/2
     # since the last build (strict Verlet safety — one fast core body can
     # force very frequent rebuilds); "off" relies on rebuild_interval
-    # alone (frozen entries still advance ballistically; error is
-    # second-order in interval, validated in tests/test_bh_window.py).
-    rebuild_drift_mode: str = "max"
+    # alone (frozen entries still advance ballistically; error measured at
+    # 0.06%/0.2% of system scale over 48/96 steps at interval 24/48 —
+    # tests/test_bh_window.py).  Default "off": the interval bound is the
+    # validated production policy.
+    rebuild_drift_mode: str = "off"
     use_pallas_eval: bool = True  # fused Pallas per-step evaluation
     # Frontier capacity for octree levels >= 7 during list rebuild (deep
     # levels only visit the group's neighbourhood).  0 = same as

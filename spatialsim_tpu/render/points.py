@@ -40,6 +40,22 @@ def project_points(positions, eye, target=(0, 0, 0), up=(0, 1, 0),
             cz.astype(np.float32), visible)
 
 
+def cull_visible(positions, eye, target=(0, 0, 0), up=(0, 1, 0),
+                 fov_deg=75.0, width=1280, height=720, margin=0.1):
+    """Indices of points inside the (slightly dilated) view frustum.
+
+    The per-point culling the reference runs before uploading VBOs
+    (``nbody/simulation.py:403-434``, ``boids/flock.py:311-348``); the
+    margin keeps points that are just off-screen so nothing pops at the
+    edges during camera motion.
+    """
+    w = int(width * (1 + margin))
+    h = int(height * (1 + margin))
+    px, py, _, vis = project_points(
+        positions, eye, target, up, fov_deg, w, h)
+    return np.flatnonzero(vis)
+
+
 def render_points(positions, colors, eye, target=(0, 0, 0), up=(0, 1, 0),
                   fov_deg=75.0, width=1280, height=720,
                   point_size=1.0, brightness=1.0,

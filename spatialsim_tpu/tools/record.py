@@ -38,6 +38,26 @@ from spatialsim_tpu.io.session import STATE_INTERVAL
 
 RECORD_MAX_SPEED_COLOR = 15.0
 
+# TPU throughput anchor for the wall-clock estimator, measured on a v5e
+# chip (sustained, incl. list rebuilds): ~6 steps/s at 1M bodies theta=0.8.
+# The reference anchors the same model at 70 ms/step @100K on CPU
+# (tools/record.py:993-1017); both scale by n*log n and (theta0/theta)^2.
+_EST_ANCHOR_N = 1_000_000
+_EST_ANCHOR_THETA = 0.8
+_EST_ANCHOR_STEP_S = 1.0 / 6.0
+
+
+def estimate_recording_time(config: dict) -> float:
+    """Rough wall-clock estimate (seconds) for a preset recording."""
+    import math
+    n = int(config["num_bodies"])
+    theta = float(config.get("theta", 0.8))
+    steps = int(config["total_frames"]) * int(config.get("substeps", 1))
+    scale = (n * math.log(max(n, 2))) / (
+        _EST_ANCHOR_N * math.log(_EST_ANCHOR_N))
+    theta_scale = (_EST_ANCHOR_THETA / theta) ** 2
+    return steps * _EST_ANCHOR_STEP_S * scale * theta_scale
+
 
 def config_from_preset(preset: dict) -> NBodyConfig:
     """Map a preset dict onto the physics config."""
@@ -239,6 +259,9 @@ def main(argv=None) -> int:
     p.add_argument("--list", dest="list_", action="store_true",
                    help="alias for --status")
     p.add_argument("--list-presets", action="store_true")
+    p.add_argument("--list-distributions", action="store_true")
+    p.add_argument("--estimate", action="store_true",
+                   help="print the wall-clock estimate and exit")
     p.add_argument("--bodies", type=str, help="override body count (k/m ok)")
     p.add_argument("--frames", type=int, help="override total frames")
     p.add_argument("--theta", type=float, help="override Barnes-Hut theta")
@@ -253,6 +276,9 @@ def main(argv=None) -> int:
         return 0
     if args.list_presets:
         presets_lib.print_preset_menu()
+        return 0
+    if args.list_distributions:
+        presets_lib.list_distributions()
         return 0
 
     session = args.session or (args.resume if args.resume else None)
@@ -315,6 +341,13 @@ def main(argv=None) -> int:
         config["seed"] = args.seed
     if args.name:
         config["session_name"] = args.name
+
+    est = estimate_recording_time(config)
+    print(f"[Record] Estimated compute: ~{format_time(est)} "
+          f"({config['num_bodies']:,} bodies x "
+          f"{config['total_frames']} frames)")
+    if args.estimate:
+        return 0
 
     record(config, resume=False)
     return 0
