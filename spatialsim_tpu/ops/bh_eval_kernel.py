@@ -100,10 +100,10 @@ def _eval_kernel(far_n_ref, shared_n_ref, gpos_ref, *rest, soft_sq, G, gsz,
 @functools.partial(
     jax.jit,
     static_argnames=("G", "softening", "group_size", "window_groups",
-                     "far_tile", "supergroup"))
+                     "far_tile", "supergroup", "local_slice"))
 def pallas_window_eval(s_pos, s_mass, far4, far_n, shared4, shared_n, *,
                        G, softening, group_size=512, window_groups=3,
-                       far_tile=512, supergroup=1):
+                       far_tile=512, supergroup=1, local_slice=None):
     """Fused near-window + far-list (+ supergroup-shared) accelerations.
 
     Args:
@@ -115,13 +115,18 @@ def pallas_window_eval(s_pos, s_mass, far4, far_n, shared4, shared_n, *,
       shared4: ``(nsg, 4, Ls)`` f32 supergroup-shared entries.
       shared_n: ``(nsg,)`` int32.
       supergroup: groups per supergroup (g -> shared row g // supergroup).
+      local_slice: optional static ``(group_offset, n_groups)`` — evaluate
+        only that contiguous group range (the multi-chip path hands each
+        device its group shard; ``s_pos``/``s_mass`` stay global so the
+        Morton windows cross shard boundaries correctly).
     Returns:
-      ``(3, npad)`` f32 accelerations in sorted order.
+      ``(3, n_groups * group_size)`` f32 accelerations in sorted order
+      (the full ``npad`` when ``local_slice`` is None).
     """
     gsz = group_size
     wg = window_groups
     npad = s_pos.shape[1]
-    ng = npad // gsz
+    offset, ng = local_slice or (0, npad // gsz)
     L = far4.shape[2]
     Ls = shared4.shape[2]
     soft_sq = float(softening) ** 2
@@ -129,9 +134,13 @@ def pallas_window_eval(s_pos, s_mass, far4, far_n, shared4, shared_n, *,
 
     pos8 = jnp.concatenate(
         [s_pos, s_mass[None, :], jnp.zeros((4, npad), jnp.float32)], axis=0)
-    # Window source array padded by wg zero-mass groups on each side.
-    pos8_winpad = jnp.pad(pos8, ((0, 0), (wg * gsz, wg * gsz)))
-    gpos_t = pos8.T                              # (npad, 8): bodies-major
+    # Window source array padded by wg zero-mass groups on each side,
+    # then sliced to the local range (+wg halo each side).
+    pos8_winpad = jax.lax.dynamic_slice_in_dim(
+        jnp.pad(pos8, ((0, 0), (wg * gsz, wg * gsz))),
+        offset * gsz, (ng + 2 * wg) * gsz, axis=1)
+    gpos_t = jax.lax.dynamic_slice_in_dim(
+        pos8, offset * gsz, ng * gsz, axis=1).T  # (ng*gsz, 8) bodies-major
 
     n_window = 2 * wg + 1
     # Index maps receive (grid index, scalar-prefetch refs) — ignored.
@@ -164,10 +173,10 @@ def pallas_window_eval(s_pos, s_mass, far4, far_n, shared4, shared_n, *,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((npad, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ng * gsz, 8), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=int(ng) * avg_pairs * 17,
-            bytes_accessed=npad * 8 * 4 + ng * 4 * L * 4,
+            bytes_accessed=ng * gsz * 8 * 4 + ng * 4 * L * 4,
             transcendentals=int(ng) * avg_pairs),
         interpret=interpret,
     )(far_n, shared_n, gpos_t, *([pos8_winpad] * n_window), far4, shared4)

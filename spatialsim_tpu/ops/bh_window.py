@@ -322,7 +322,8 @@ def _traverse_emit(gidx, bbox_min, bbox_max, tree, *, theta, soft_sq,
 
 
 def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
-                     gsz, window_groups, list_cap, n_levels, wl_caps):
+                     gsz, window_groups, list_cap, n_levels, wl_caps,
+                     group_offset=0):
     """Global-worklist traversal: all (group, cell) pairs of one level in
     one flat, group-major list.
 
@@ -390,8 +391,10 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
         vals7 = (ccom[0], ccom[1], ccom[2], cvel[0], cvel[1], cvel[2],
                  cmass)
 
-        lo = (gidx - window_groups) * gsz
-        hi = (gidx + window_groups + 1) * gsz
+        # Window bounds in GLOBAL body indices (gidx is local to this
+        # shard; group_offset maps it to the global group id).
+        lo = (gidx + group_offset - window_groups) * gsz
+        hi = (gidx + group_offset + window_groups + 1) * gsz
         in_window = active & (cstart >= lo) & (cend <= hi)
         straddle = active & ~in_window & (cstart < hi) & (cend > lo)
         outside = active & ~in_window & ~straddle
@@ -537,12 +540,13 @@ def _default_wl_caps(ng: int, n_levels: int, budget: int):
                      "window_groups", "list_cap", "group_chunk",
                      "frontier_cap", "deep_frontier_cap", "deep_level",
                      "supergroup", "shared_cap", "build_mode",
-                     "worklist_budget"))
+                     "worklist_budget", "n_groups"))
 def build_lists(pos, vel, mass, *, theta, softening, skin=4.0, max_depth=10,
                 group_size=256, window_groups=3, list_cap=2048,
                 group_chunk=128, frontier_cap=512, deep_frontier_cap=256,
                 deep_level=7, supergroup=1, shared_cap=2048,
-                build_mode="global", worklist_budget=0):
+                build_mode="global", worklist_budget=0,
+                group_offset=0, n_groups=None):
     """Morton-sort + octree + traversal -> :class:`BHLists`.
 
     ``build_mode="global"`` (default) uses the global-worklist traversal
@@ -551,6 +555,11 @@ def build_lists(pos, vel, mass, *, theta, softening, skin=4.0, max_depth=10,
     variant; with ``supergroup > 1`` its coarse levels run once per
     supergroup (phase A) into a shared list — an experimental layout
     whose frontier demand explodes for dense cores, kept for study.
+
+    ``group_offset`` (traced) + ``n_groups`` (static) restrict the
+    traversal and the returned lists to a contiguous group range — the
+    multi-chip path hands each device its shard of groups while the
+    (cheap) sort + octree stay replicated.
     """
     n = pos.shape[1]
     gsz = group_size
@@ -580,10 +589,16 @@ def build_lists(pos, vel, mass, *, theta, softening, skin=4.0, max_depth=10,
         frontier_cap if (start_level + li) < deep_level
         else deep_frontier_cap for li in range(n_levels))
 
-    ng = npad // gsz
-    gpos = s_pos.reshape(3, ng, gsz)
+    ng_total = npad // gsz
+    ng = n_groups or ng_total
+    gpos = s_pos.reshape(3, ng_total, gsz)
     bbox_min = jnp.min(gpos, axis=2).T
     bbox_max = jnp.max(gpos, axis=2).T
+    sliced = ng != ng_total or not (
+        isinstance(group_offset, int) and group_offset == 0)
+    if sliced:
+        bbox_min = jax.lax.dynamic_slice_in_dim(bbox_min, group_offset, ng)
+        bbox_max = jax.lax.dynamic_slice_in_dim(bbox_max, group_offset, ng)
 
     coarse_levels = deep_level - start_level
     two_phase = build_mode == "pergroup" and S > 1 \
@@ -600,7 +615,7 @@ def build_lists(pos, vel, mass, *, theta, softening, skin=4.0, max_depth=10,
             tree, bbox_min, bbox_max, ng, theta=float(theta),
             soft_sq=float(softening) ** 2, skin=float(skin), gsz=gsz,
             window_groups=window_groups, list_cap=list_cap,
-            n_levels=n_levels, wl_caps=wl_caps)
+            n_levels=n_levels, wl_caps=wl_caps, group_offset=group_offset)
         shared = jnp.zeros((1, 8, 128), jnp.float32)
         shared_n = jnp.zeros((1,), jnp.int32)
         return _finish_lists(far, far_n, sl_start, sl_end, sl_n, res,

@@ -174,6 +174,135 @@ def sharded_barnes_hut_accel(pos, mass, mesh: Mesh, config):
         out_specs=P(None, axis))(pos, mass)
 
 
+def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
+    """Sharded production engine: groups (and their lists) split by device.
+
+    Layout per device d of D:
+      * bodies sharded ``(3, N/D)``; the sort permutation and octree are
+        recomputed identically on every device at rebuild (deterministic
+        and ~2% of rebuild cost) while the traversal — the dominant cost —
+        runs only over this device's group range (``group_offset`` into
+        :func:`spatialsim_tpu.ops.bh_window.build_lists`);
+      * interaction lists shard along the group axis;
+      * per step: ``all_gather`` positions (Morton windows cross shard
+        boundaries), evaluate the local group range with the fused Pallas
+        kernel, ``all_gather`` sorted accelerations, pick up own bodies.
+
+    Returns ``(jitted_step, init_fn)``; ``init_fn(pos, vel, mass)`` places
+    a correctly-sharded :class:`WindowBHState`.
+    """
+    from spatialsim_tpu.ops.bh_window import (
+        WindowBHState, _build_kw, build_lists)
+    from spatialsim_tpu.ops.bh_eval_kernel import pallas_window_eval
+    from spatialsim_tpu.ops.integrator import integrate
+
+    axis = BODY_AXIS
+    D = mesh.shape[axis]
+    gsz = config.group_size
+    if n % (D * gsz) != 0:
+        raise ValueError("num_bodies must divide evenly by devices*groups")
+    npad = n
+    ng = npad // gsz
+    ngl = ng // D
+    kw = _build_kw(config)
+    interval = config.rebuild_interval
+    damping = config.damping
+    wg = config.window_groups
+    Gf = float(config.G)
+
+    def step_local(pos_l, vel_l, mass_l, order, inv_order, far_l, far_n_l,
+                   ref_l, steps_since, dt):
+        dev = jax.lax.axis_index(axis)
+
+        def substep(carry, _):
+            (pos_l, vel_l, order, inv_order, far_l, far_n_l, ref_l,
+             ss) = carry
+            pos_f = jax.lax.all_gather(pos_l, axis, axis=1, tiled=True)
+            vel_f = jax.lax.all_gather(vel_l, axis, axis=1, tiled=True)
+            mass_f = jax.lax.all_gather(mass_l, axis, tiled=True)
+
+            def do_rebuild(args):
+                lists = build_lists(pos_f, vel_f, mass_f,
+                                    group_offset=dev * ngl, n_groups=ngl,
+                                    **kw)
+                return (lists.order, lists.inv_order, lists.far,
+                        lists.far_n, pos_l, jnp.int32(0))
+
+            order2, inv2, far2, farn2, ref2, ss2 = jax.lax.cond(
+                ss >= interval, do_rebuild, lambda a: a,
+                (order, inv_order, far_l, far_n_l, ref_l, ss))
+
+            s_pos = pos_f[:, order2]
+            pad_mask = jnp.arange(npad) >= n
+            s_mass = jnp.where(pad_mask, 0.0, mass_f[order2])
+
+            tau = ss2.astype(jnp.float32) * dt
+            fpos = far2[:, 0:3, :] + far2[:, 3:6, :] * tau
+            far4 = jnp.concatenate([fpos, far2[:, 6:7, :]], axis=1)
+            shared4 = jnp.zeros((1, 4, 128), jnp.float32)
+            shared_n = jnp.zeros((1,), jnp.int32)
+
+            # Pallas needs a static group offset: one branch per device.
+            acc_l = jax.lax.switch(dev, [
+                (lambda d=d: pallas_window_eval(
+                    s_pos, s_mass, far4, farn2, shared4, shared_n,
+                    G=Gf, softening=config.softening, group_size=gsz,
+                    window_groups=wg, supergroup=ngl,
+                    local_slice=(d * ngl, ngl)))
+                for d in range(D)])
+
+            acc_f = jax.lax.all_gather(acc_l, axis, axis=1, tiled=True)
+            nl = n // D
+            my = jax.lax.dynamic_slice_in_dim(inv2, dev * nl, nl)
+            acc_mine = acc_f[:, my]
+            pos2, vel2 = integrate(pos_l, vel_l, acc_mine, dt, damping)
+            return (pos2, vel2, order2, inv2, far2, farn2, ref2,
+                    ss2 + 1), None
+
+        init = (pos_l, vel_l, order, inv_order, far_l, far_n_l, ref_l,
+                steps_since)
+        out, _ = jax.lax.scan(substep, init, None, length=substeps)
+        return out
+
+    sh2 = P(None, axis)
+    sh1 = P(axis)
+    rep = P()
+    in_specs = (sh2, sh2, sh1, rep, rep, P(axis, None, None), sh1, sh2,
+                rep, rep)
+    out_specs = (sh2, sh2, rep, rep, P(axis, None, None), sh1, sh2, rep)
+    try:
+        smapped = shard_map(step_local, mesh=mesh, in_specs=in_specs,
+                            out_specs=out_specs, check_rep=False)
+    except TypeError:  # newer jax renamed the replication check
+        smapped = shard_map(step_local, mesh=mesh, in_specs=in_specs,
+                            out_specs=out_specs, check_vma=False)
+
+    def step(state: WindowBHState, dt):
+        lists = state.lists
+        (pos, vel, order, inv_order, far, far_n, ref, ss) = smapped(
+            state.pos, state.vel, state.mass, lists.order,
+            lists.inv_order, lists.far, lists.far_n, lists.ref_pos,
+            lists.steps_since, dt)
+        new_lists = lists._replace(order=order, inv_order=inv_order,
+                                   far=far, far_n=far_n, ref_pos=ref,
+                                   steps_since=ss)
+        return WindowBHState(pos, vel, state.mass, new_lists)
+
+    def init_fn(pos, vel, mass):
+        lists = build_lists(pos, vel, mass, **kw)
+        place = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+        lists = lists._replace(
+            far=place(lists.far, P(BODY_AXIS, None, None)),
+            far_n=place(lists.far_n, sh1),
+            ref_pos=place(lists.ref_pos, sh2),
+            order=place(lists.order, rep),
+            inv_order=place(lists.inv_order, rep))
+        return WindowBHState(place(pos, sh2), place(vel, sh2),
+                             place(mass, sh1), lists)
+
+    return jax.jit(step, donate_argnums=(0,)), init_fn
+
+
 def make_sharded_step(config, n: int, mesh: Mesh, substeps: int = 1,
                       engine: Optional[str] = None):
     """Jitted sharded step: (state, dt) -> state, bodies sharded over mesh.
