@@ -8,7 +8,6 @@ the host only pulls positions/colours for rendering or recording.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

@@ -26,7 +26,7 @@ import numpy as np
 from spatialsim_tpu.config.nbody import NBodyConfig, NBODY
 from spatialsim_tpu.ops.integrator import integrate
 from spatialsim_tpu.ops.colors import colors_by_velocity
-from spatialsim_tpu.ops.allpairs import allpairs_accel, allpairs_accel_reference
+from spatialsim_tpu.ops.allpairs import allpairs_accel
 from spatialsim_tpu import distributions
 
 

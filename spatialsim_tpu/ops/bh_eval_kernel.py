@@ -54,47 +54,53 @@ def _eval_kernel(far_n_ref, shared_n_ref, gpos_ref, *rest, soft_sq, G, gsz,
     out_ref = rest[n_window + 2]
 
     g = pl.program_id(0)
-    xi = gpos_ref[:, 0:1]
-    yi = gpos_ref[:, 1:2]
-    zi = gpos_ref[:, 2:3]
 
-    ax = jnp.zeros((gsz, 1), jnp.float32)
-    ay = jnp.zeros((gsz, 1), jnp.float32)
-    az = jnp.zeros((gsz, 1), jnp.float32)
+    # Sub-tile the i (target body) dimension so the (i, source) pairwise
+    # intermediates stay within VMEM for large group sizes.
+    iblk = min(gsz, 512)
+    for i0 in range(0, gsz, iblk):
+        xi = gpos_ref[i0:i0 + iblk, 0:1]
+        yi = gpos_ref[i0:i0 + iblk, 1:2]
+        zi = gpos_ref[i0:i0 + iblk, 2:3]
 
-    # Near field: the Morton window, one dense block per neighbour group.
-    for wref in window_refs:
-        dax, day, daz = _pair_accum(
-            xi, yi, zi, wref[0:1, :], wref[1:2, :], wref[2:3, :],
-            wref[3:4, :], soft_sq)
-        ax += dax
-        ay += day
-        az += daz
+        ax = jnp.zeros((iblk, 1), jnp.float32)
+        ay = jnp.zeros((iblk, 1), jnp.float32)
+        az = jnp.zeros((iblk, 1), jnp.float32)
 
-    def list_loop(ref, count, carry):
-        # Frozen-entry tiles, loop bounded by the actual entry count.
-        tile = min(far_tile, ref.shape[2])
-        n_tiles = (count + tile - 1) // tile
+        # Near field: the Morton window, one dense block per neighbour.
+        for wref in window_refs:
+            dax, day, daz = _pair_accum(
+                xi, yi, zi, wref[0:1, :], wref[1:2, :], wref[2:3, :],
+                wref[3:4, :], soft_sq)
+            ax += dax
+            ay += day
+            az += daz
 
-        def tile_body(t, carry):
-            ax, ay, az = carry
-            off = pl.multiple_of(t * tile, tile)
-            fx = ref[0, 0:1, pl.ds(off, tile)]
-            fy = ref[0, 1:2, pl.ds(off, tile)]
-            fz = ref[0, 2:3, pl.ds(off, tile)]
-            fm = ref[0, 3:4, pl.ds(off, tile)]
-            dax, day, daz = _pair_accum(xi, yi, zi, fx, fy, fz, fm,
-                                        soft_sq)
-            return ax + dax, ay + day, az + daz
+        def list_loop(ref, count, carry):
+            # Frozen-entry tiles, loop bounded by the actual entry count.
+            tile = min(far_tile, ref.shape[2])
+            n_tiles = (count + tile - 1) // tile
 
-        return jax.lax.fori_loop(0, n_tiles, tile_body, carry)
+            def tile_body(t, carry):
+                ax, ay, az = carry
+                off = pl.multiple_of(t * tile, tile)
+                fx = ref[0, 0:1, pl.ds(off, tile)]
+                fy = ref[0, 1:2, pl.ds(off, tile)]
+                fz = ref[0, 2:3, pl.ds(off, tile)]
+                fm = ref[0, 3:4, pl.ds(off, tile)]
+                dax, day, daz = _pair_accum(xi, yi, zi, fx, fy, fz, fm,
+                                            soft_sq)
+                return ax + dax, ay + day, az + daz
 
-    ax, ay, az = list_loop(far_ref, far_n_ref[g], (ax, ay, az))
-    ax, ay, az = list_loop(shared_ref, shared_n_ref[g // supergroup],
-                           (ax, ay, az))
+            return jax.lax.fori_loop(0, n_tiles, tile_body, carry)
 
-    out_ref[:, :] = jnp.concatenate(
-        [ax * G, ay * G, az * G, jnp.zeros((gsz, 5), jnp.float32)], axis=1)
+        ax, ay, az = list_loop(far_ref, far_n_ref[g], (ax, ay, az))
+        ax, ay, az = list_loop(shared_ref, shared_n_ref[g // supergroup],
+                               (ax, ay, az))
+
+        out_ref[i0:i0 + iblk, :] = jnp.concatenate(
+            [ax * G, ay * G, az * G, jnp.zeros((iblk, 5), jnp.float32)],
+            axis=1)
 
 
 @functools.partial(

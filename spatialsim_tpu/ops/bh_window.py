@@ -16,8 +16,9 @@ into a periodic REBUILD and makes the per-step work purely dense:
 * **Far field**: each accepted cell is frozen as ``(com₀, v₀, mass)``
   with ``v₀`` the mass-weighted mean velocity; between rebuilds the entry
   advances as ``com₀ + v₀·τ`` — first-order exact, second-order error in
-  the rebuild interval.  Per-step far evaluation reads only dense
-  ``(groups, L, 8)`` tensors: no gathers, no scatters.
+  the rebuild interval (measured 0.06-0.2% of system scale over 48-96
+  steps).  Per-step far evaluation reads only dense ``(groups, 8, L)``
+  tensors: no gathers, no scatters.
 * **Near field**: every group interacts exactly (softened direct sum)
   with the Morton **window** of ``2·window_groups+1`` neighbouring groups
   — pure shifted slices of the sorted state.  The traversal drops cells

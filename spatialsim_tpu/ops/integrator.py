@@ -14,7 +14,6 @@ Bodies are unbounded ("no boundaries, bodies can escape", reference
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 
 
 def integrate(pos, vel, accel, dt, damping=1.0):

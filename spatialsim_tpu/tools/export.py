@@ -25,7 +25,6 @@ import time
 from pathlib import Path
 from typing import Optional
 
-import numpy as np
 
 from spatialsim_tpu.io import codec, session
 from spatialsim_tpu.render import ExportCamera, render_points
