@@ -20,6 +20,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the suite is compile-dominated (~20 min
+# cold); warm runs reuse the cached executables.
+jax.config.update("jax_compilation_cache_dir", "/tmp/spatialsim_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
