@@ -86,3 +86,38 @@ def test_cli_status_and_presets(rec_env, capsys):
     out = capsys.readouterr().out
     assert "bar_galaxy" not in out  # menu shows display names
     assert "Barred Spiral Galaxy" in out
+
+
+def test_record_with_window_engine(rec_env):
+    # The production engine path the MEGA/EXTREME presets take (forced
+    # here at test scale; XLA eval keeps the CPU suite fast).
+    from spatialsim_tpu.config.nbody import NBodyConfig
+    from spatialsim_tpu.models.nbody import NBodySimulation
+    from spatialsim_tpu.ops.bh_window import WindowBHState
+
+    cfg = tiny_config(session_name="win", num_bodies=1024, total_frames=5)
+    base = record_tool.config_from_preset(cfg).replace(
+        engine="window", group_size=64, list_capacity=1024,
+        window_groups=2, max_depth=7, rebuild_interval=4,
+        rebuild_drift_mode="off", use_pallas_eval=False)
+
+    rec_dir = session.get_recording_dir("win")
+    sim = NBodySimulation(config=base, substeps=2, seed=3)
+    assert isinstance(sim.state, WindowBHState)
+    # Drive the same loop shape the recorder uses.
+    for k in range(5):
+        sim.step_raw(0.1)
+        session.save_state(rec_dir, k, sim.get_positions(),
+                           sim.get_velocities(), sim.get_masses(),
+                           keep_previous=True)
+    p = sim.get_positions()
+    assert np.isfinite(p).all()
+    # Resume path restores a window-engine sim from the checkpoint.
+    _, frame = session.find_latest_state(rec_dir, 10)
+    pos, vel, masses = session.load_state(
+        session.state_path(rec_dir, frame))
+    sim2 = NBodySimulation.from_state(pos, vel, masses, config=base,
+                                      substeps=2)
+    assert sim2.engine == "window"
+    sim2.step_raw(0.1)
+    assert np.isfinite(sim2.get_positions()).all()
