@@ -163,10 +163,16 @@ def record(config: dict, resume: bool = False) -> None:
         compressor.check_and_queue(idx)
         pending = None
 
+    # Each frame advances dt_per_frame of simulated time, split into
+    # `substeps` equal sub-iterations (reference tools/record.py:749:
+    # dt = dt_per_frame / substeps).  make_step_fn scans `substeps`
+    # iterations of the dt we pass, so we pass the divided value.
+    dt_sub = dt_frame / max(substeps, 1)
+
     try:
         for frame in range(start_frame, total_frames):
             t0 = time.time()
-            sim.step_raw(dt_frame)
+            sim.step_raw(dt_sub)
             # Device-side capture prep; transfer overlaps the next step.
             pos_dev = sim.state.pos.T
             col_dev = color_fn(sim.state.vel)

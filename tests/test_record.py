@@ -68,6 +68,30 @@ def test_record_resume_matches_uninterrupted(rec_env):
     np.testing.assert_allclose(pa, pb, atol=5e-3)
 
 
+@pytest.mark.parametrize("substeps", [1, 3])
+def test_substeps_divide_frame_dt(rec_env, substeps):
+    """A frame advances exactly dt_per_frame of simulated time regardless
+    of substeps (reference tools/record.py:749: dt = dt_per_frame/substeps).
+
+    With G=0 and damping=1 every body moves at constant velocity, so
+    frame k+1 minus frame k must equal v * dt_per_frame — not
+    v * substeps * dt_per_frame (the round-1 bug this test pins).
+    """
+    dt_frame = 0.1
+    name = f"sub{substeps}"
+    cfg = tiny_config(session_name=name, G=0.0, total_frames=3,
+                      dt_per_frame=dt_frame, substeps=substeps)
+    record_tool.record(cfg)
+    rec_dir = rec_env / name
+    # Final checkpoint (frame 2) holds the exact velocities.
+    _, frame = session.find_latest_state(rec_dir, 3)
+    _, vel, _ = session.load_state(session.state_path(rec_dir, frame))
+    p0, c0 = codec.load_frame(rec_dir, 0)
+    p1, _ = codec.load_frame(rec_dir, 1, p0, c0)
+    # Codec stores positions quantized to 1/1000 (delta frames).
+    np.testing.assert_allclose(p1 - p0, vel * dt_frame, atol=5e-3)
+
+
 def test_extend_session(rec_env):
     cfg = tiny_config(session_name="ext", total_frames=6)
     record_tool.record(cfg)
