@@ -8,7 +8,8 @@
 // thread spends its time in zstd, not in numpy temporaries.  Loaded via
 // ctypes (spatialsim_tpu/io/_native.py); numpy is the fallback.
 //
-// Build: g++ -O3 -shared -fPIC -o libframecodec.so framecodec.cpp
+// Built from source on first use into a gitignored build dir (no binary
+// is committed); see _native.py.
 
 #include <cstdint>
 #include <cmath>
@@ -16,13 +17,18 @@
 extern "C" {
 
 // out[i] = round((cur[i] - prev[i]) * scale), saturated to int16.
-void delta_encode_i16(const float* cur, const float* prev, int16_t* out,
-                      int64_t n, float scale) {
+// Returns the number of saturated elements so the caller can fall back
+// to an absolute frame instead of silently corrupting the delta chain.
+int64_t delta_encode_i16(const float* cur, const float* prev, int16_t* out,
+                         int64_t n, float scale) {
+    int64_t saturated = 0;
     for (int64_t i = 0; i < n; ++i) {
         float d = (cur[i] - prev[i]) * scale;
-        d = d < -32768.f ? -32768.f : (d > 32767.f ? 32767.f : d);
+        if (d < -32768.f) { d = -32768.f; ++saturated; }
+        else if (d > 32767.f) { d = 32767.f; ++saturated; }
         out[i] = (int16_t)lrintf(d);
     }
+    return saturated;
 }
 
 // out[i] = prev[i] + delta[i] * inv_scale.
@@ -39,6 +45,6 @@ void copy_f32(const float* src, float* dst, int64_t n) {
     for (int64_t i = 0; i < n; ++i) dst[i] = src[i];
 }
 
-int codec_abi_version() { return 1; }
+int codec_abi_version() { return 2; }
 
 }  // extern "C"

@@ -59,18 +59,29 @@ def save_frame(rec_dir: Path, frame_idx: int, positions: np.ndarray,
 def compress_frame(positions: np.ndarray, colors: np.ndarray,
                    prev_positions: Optional[np.ndarray] = None,
                    prev_colors: Optional[np.ndarray] = None) -> bytes:
-    """Pack one frame; delta vs the previous frame when available."""
+    """Pack one frame; delta vs the previous frame when available.
+
+    If any per-element delta would saturate int16 (per-step motion beyond
+    32.767 units — fast explosion presets can hit this), the frame falls
+    back to an absolute (format-1) frame: a saturated delta would corrupt
+    this frame AND the rest of its batch chain silently.
+    """
     use_delta = prev_positions is not None and prev_colors is not None
     if use_delta:
         from spatialsim_tpu.io import _native
-        fmt = FORMAT_DELTA
         # Round-to-nearest (the reference truncates, tools/record.py:259;
         # rounding halves the quantization error and decodes identically).
         # The quantize loop runs in the native codec core when available.
-        pos_payload = _native.delta_encode(
-            positions, prev_positions, DELTA_SCALE).tobytes()
-        col_payload = _native.delta_encode(
-            colors, prev_colors, DELTA_SCALE).tobytes()
+        pos_delta, pos_sat = _native.delta_encode(
+            positions, prev_positions, DELTA_SCALE)
+        col_delta, col_sat = _native.delta_encode(
+            colors, prev_colors, DELTA_SCALE)
+        if pos_sat or col_sat:
+            use_delta = False
+    if use_delta:
+        fmt = FORMAT_DELTA
+        pos_payload = pos_delta.tobytes()
+        col_payload = col_delta.tobytes()
     else:
         fmt = FORMAT_ABSOLUTE
         pos_payload = np.asarray(positions, np.float32).tobytes()

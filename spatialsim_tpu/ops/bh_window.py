@@ -356,10 +356,17 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
     # Residual accumulators: m, m*com, m*vel — 7 flat (ng,) columns.
     res_cols = [jnp.zeros((ng,), jnp.float32) for _ in range(7)]
 
-    # Init: every group x every start-level cell, group-major.
+    # Init: every group x every start-level cell, group-major.  The
+    # caller must size wl_caps[0] >= ng*c0 (c0 <= 64 at start level 2, so
+    # this is cheap) — truncating here would silently drop whole octants
+    # of mass from every group's far field.
     c0 = levels[0].code.shape[0]
     W0 = wl_caps[0]
-    per_g = min(c0, W0 // ng) if ng * c0 > W0 else c0
+    if W0 < ng * c0:
+        raise ValueError(
+            f"wl_caps[0]={W0} cannot hold the init frontier "
+            f"ng*c0={ng}*{c0}; size the level-0 worklist to ng*c0")
+    per_g = c0
     wl_g = jnp.repeat(jnp.arange(ng, dtype=jnp.int32), per_g)
     wl_c = jnp.tile(jnp.arange(per_g, dtype=jnp.int32), ng)
     wl_c = jnp.where(wl_c < levels[0].n_cells, wl_c, -1)
@@ -519,12 +526,14 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
             jnp.stack(wl_sizes))
 
 
-def _default_wl_caps(ng: int, n_levels: int, budget: int):
+def _default_wl_caps(ng: int, n_levels: int, budget: int, c0: int = 64):
     """Per-level worklist capacities.
 
     Shape measured at 1M bodies (galaxy, θ=0.8): coarse levels sit near
     the ng x 64 init size, demand ramps from level ~6 and peaks at the
-    deepest levels — fractions below mirror that profile.
+    deepest levels — fractions below mirror that profile.  Level 0 must
+    hold the full ``ng * c0`` init frontier (c0 = start-level cell count,
+    <= 64) — anything smaller silently truncates every group's far field.
     """
     frac = [0.08, 0.08, 0.08, 0.08, 0.2, 0.45] + [1.0] * max(
         0, n_levels - 6)
@@ -532,6 +541,7 @@ def _default_wl_caps(ng: int, n_levels: int, budget: int):
     for li in range(n_levels):
         f = frac[li] if li < len(frac) else 1.0
         caps.append(int(max(ng * 8, f * budget)))
+    caps[0] = max(caps[0], ng * c0)
     return tuple(caps)
 
 
@@ -611,7 +621,8 @@ def build_lists(pos, vel, mass, *, theta, softening, skin=4.0, max_depth=10,
 
     if build_mode == "global":
         budget = worklist_budget or min(6_000_000, max(262_144, 5 * npad))
-        wl_caps = _default_wl_caps(ng, n_levels, budget)
+        wl_caps = _default_wl_caps(ng, n_levels, budget,
+                                   c0=tree.levels[0].code.shape[0])
         far, far_n, sl_start, sl_end, sl_n, res, _wl = _traverse_global(
             tree, bbox_min, bbox_max, ng, theta=float(theta),
             soft_sq=float(softening) ** 2, skin=float(skin), gsz=gsz,
@@ -931,6 +942,66 @@ def make_window_step(config, n: int, substeps: int = 1):
 def init_window_state(pos, vel, mass, config) -> WindowBHState:
     lists = build_lists(pos, vel, mass, **_build_kw(config))
     return WindowBHState(pos, vel, mass, lists)
+
+
+def build_diagnostics(pos, vel, mass, config):
+    """Rebuild instrumentation: per-level worklist demand + list stats.
+
+    Host-side helper (not jitted into the step): returns a dict with the
+    actual worklist sizes per level (vs their static caps), far-list
+    occupancy and residual mass per group — the numbers that drive
+    wl_caps/list_capacity tuning.
+    """
+    import numpy as np
+    kw = _build_kw(config)
+    if kw["build_mode"] != "global":
+        raise ValueError("diagnostics cover the global worklist build")
+    n = pos.shape[1]
+    gsz = kw["group_size"]
+    half = compute_bounds(pos)
+    codes = morton_encode(pos, half, kw["max_depth"])
+    order = jnp.argsort(codes).astype(jnp.int32)
+    npad = ((n + gsz - 1) // gsz) * gsz
+    pad = npad - n
+    order_pad = jnp.concatenate([order, jnp.broadcast_to(order[-1], (pad,))])
+    s_codes = jnp.concatenate(
+        [codes[order], jnp.broadcast_to(codes[order[-1]], (pad,))])
+    s_pos = pos[:, order_pad]
+    pad_mask = jnp.arange(npad) >= n
+    s_mass = jnp.where(pad_mask, 0.0, mass[order_pad])
+    s_vel = vel[:, order_pad]
+    tree = build_octree(s_codes, s_pos, s_mass, half,
+                        max_depth=kw["max_depth"], start_level=2, n=npad,
+                        sorted_vel=s_vel)
+    n_levels = len(tree.levels)
+    ng = npad // gsz
+    gpos = s_pos.reshape(3, ng, gsz)
+    bbox_min = jnp.min(gpos, axis=2).T
+    bbox_max = jnp.max(gpos, axis=2).T
+    budget = kw["worklist_budget"] or min(6_000_000, max(262_144, 5 * npad))
+    wl_caps = _default_wl_caps(ng, n_levels, budget,
+                               c0=tree.levels[0].code.shape[0])
+    far, far_n, sls, sle, sl_n, res, wl = _traverse_global(
+        tree, bbox_min, bbox_max, ng, theta=float(kw["theta"]),
+        soft_sq=float(kw["softening"]) ** 2, skin=float(kw["skin"]),
+        gsz=gsz, window_groups=kw["window_groups"],
+        list_cap=kw["list_cap"], n_levels=n_levels, wl_caps=wl_caps)
+    far_n = np.asarray(far_n)
+    return {
+        "n_levels": n_levels,
+        "wl_caps": list(wl_caps),
+        "wl_sizes": np.asarray(wl).tolist(),
+        "far_n_mean": float(far_n.mean()),
+        "far_n_max": int(far_n.max()),
+        "far_n_p99": float(np.percentile(far_n, 99)),
+        "list_cap": kw["list_cap"],
+        "groups_at_cap": int((far_n >= kw["list_cap"] - 1).sum()),
+        "ng": ng,
+        "residual_mass_frac": float(np.asarray(res)[:, 0].sum()
+                                    / max(float(np.asarray(s_mass).sum()),
+                                          1e-30)),
+        "cells_per_level": [int(lv.n_cells) for lv in tree.levels],
+    }
 
 
 def window_bh_accel(pos, vel, mass, config, dt=0.0, use_pallas=None):

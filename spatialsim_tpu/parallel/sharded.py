@@ -205,7 +205,18 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
     ng = npad // gsz
     ngl = ng // D
     kw = _build_kw(config)
+    if kw.get("build_mode", "global") != "global" \
+            or kw.get("supergroup", 1) > 1:
+        # The sharded eval passes an empty shared list to the kernel; a
+        # pergroup/supergroup build would silently lose all supergroup-
+        # shared far-field mass on this path.
+        raise ValueError(
+            "make_sharded_window_step requires build_mode='global' with "
+            "supergroup=1 (supergroup-shared lists are not plumbed "
+            "through the sharded eval)")
     interval = config.rebuild_interval
+    skin = float(config.skin)
+    drift_mode = getattr(config, "rebuild_drift_mode", "max")
     damping = config.damping
     wg = config.window_groups
     Gf = float(config.G)
@@ -228,8 +239,15 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
                 return (lists.order, lists.inv_order, lists.far,
                         lists.far_n, pos_l, jnp.int32(0))
 
+            need = ss >= interval
+            if drift_mode == "max":
+                # Verlet-skin safety: rebuild when ANY body (across the
+                # whole mesh) drifted past skin/2 since the last build.
+                drift = jax.lax.pmax(
+                    jnp.max(jnp.abs(pos_l - ref_l)), axis)
+                need = need | (drift > skin * 0.5)
             order2, inv2, far2, farn2, ref2, ss2 = jax.lax.cond(
-                ss >= interval, do_rebuild, lambda a: a,
+                need, do_rebuild, lambda a: a,
                 (order, inv_order, far_l, far_n_l, ref_l, ss))
 
             s_pos = pos_f[:, order2]

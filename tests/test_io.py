@@ -44,6 +44,41 @@ def test_delta_roundtrip_quantization_bound(frames):
     assert np.max(np.abs(c2 - c1)) <= 0.5 / codec.DELTA_SCALE + 1e-6
 
 
+def test_delta_saturation_falls_back_to_absolute(frames):
+    """Per-step motion beyond 32.767 units can't be delta-encoded (int16
+    x1000 saturates); the encoder must emit an absolute frame instead of
+    silently corrupting the delta chain."""
+    (p0, c0) = frames[0]
+    p1 = p0 + 50.0  # 50 units/step: x1000 = 50000 > 32767
+    c1 = c0
+    blob = codec.compress_frame(p1, c1, p0, c0)
+    assert codec.peek_format(blob) == codec.FORMAT_ABSOLUTE
+    p2, c2 = codec.decompress_frame(blob)
+    np.testing.assert_array_equal(p2, p1)
+    np.testing.assert_array_equal(c2, c1)
+
+
+def test_native_and_numpy_encoders_agree(frames):
+    """The numpy fallback must produce the same bytes as the native
+    kernel, including saturation behavior."""
+    from spatialsim_tpu.io import _native
+    (p0, _), (p1, _) = frames[0], frames[1]
+    big = p1.copy()
+    big[0, 0] = p0[0, 0] + 100.0  # force one saturated element
+    lib = _native._load()
+    if lib is None:
+        pytest.skip("native codec unavailable")
+    d_native, sat_native = _native.delta_encode(big, p0, codec.DELTA_SCALE)
+    # Forge the fallback path.
+    _native._lib, _native._tried = None, True
+    try:
+        d_np, sat_np = _native.delta_encode(big, p0, codec.DELTA_SCALE)
+    finally:
+        _native._lib, _native._tried = lib, True
+    np.testing.assert_array_equal(d_native, d_np)
+    assert sat_native == sat_np == 1
+
+
 def test_staged_save_load(tmp_path, frames):
     pos, col = frames[0]
     codec.save_frame(tmp_path, 0, pos, col)

@@ -91,16 +91,22 @@ def test_sharded_step_preserves_sharding():
 
 
 @requires_8
-def test_sharded_window_engine_matches_single_chip():
+@pytest.mark.parametrize("drift_mode", ["off", "max"])
+def test_sharded_window_engine_matches_single_chip(drift_mode):
     from spatialsim_tpu.ops.bh_window import (
         init_window_state, make_window_step)
     from spatialsim_tpu.parallel.sharded import make_sharded_window_step
 
     n = 1024
+    # drift_mode="max" exercises the pmax Verlet-skin rebuild trigger in
+    # the sharded step (a tight skin forces drift rebuilds); both sides
+    # see the same global drift, so they rebuild on the same steps.
     cfg = NBodyConfig(num_bodies=n, theta=0.8, G=0.1, softening=2.0,
                       max_depth=7, group_size=64, list_capacity=512,
-                      window_groups=2, skin=4.0, rebuild_interval=3,
-                      rebuild_drift_mode="off")
+                      window_groups=2,
+                      skin=4.0 if drift_mode == "off" else 0.5,
+                      rebuild_interval=3,
+                      rebuild_drift_mode=drift_mode)
     st = _state(n, seed=4)
 
     sstep_fn, init_fn = make_sharded_window_step(cfg, n, make_mesh(8),
