@@ -1,11 +1,21 @@
-"""Benchmark harness: flagship N-body step rate on the real chip.
+"""Benchmark harness: the three BASELINE metrics on the real chip.
 
-Headline metric (BASELINE.md): physics steps/sec at 1M bodies, theta=0.8,
-Barnes-Hut.  Baseline is the reference's own ETA anchor — 70 ms/step at
-100K bodies on CPU (reference ``tools/record.py:996-1002``) scaled by its
-n·log n model to 1M bodies => ~0.84 s/step = 1.19 steps/s.
+Default (no args) runs the full suite and prints THREE JSON lines, one per
+BASELINE.json metric:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+1. ``nbody_steps_per_sec_1000k_theta0.8`` — physics steps/sec at 1M bodies
+   (bar_galaxy-scale, window engine).  Baseline: the reference's own ETA
+   anchor — 70 ms/step at 100K bodies on CPU (``tools/record.py:996-1002``)
+   scaled by its n·log n model to 1M => ~0.84 s/step = 1.19 steps/s.
+2. ``nbody_frame_time_ms_10000k`` — 10M-body (Plummer cluster, EXTREME
+   scale) frame time in ms/step.  Baseline: the same anchor model at 10M.
+3. ``boids_steps_per_sec_100k`` — boid steps/sec at 100K agents.
+   Baseline: the reference claims 500K agents "interactive" on CPU
+   (``config/boids.py:31``); we anchor 100K at 30 steps/s (its uncapped
+   interactive target frame rate).
+
+``--only {1m,10m,boids}`` runs a single metric; the legacy tuning flags
+apply to the nbody lines.
 """
 
 from __future__ import annotations
@@ -26,9 +36,101 @@ def reference_steps_per_sec(n: int, theta: float) -> float:
     return 1000.0 / (anchor_ms * scale * theta_scale)
 
 
+BOIDS_BASELINE_100K = 30.0  # steps/s, reference interactive claim scale
+
+
+def _sync(x):
+    import numpy as np
+    # Force a host transfer: on the axon platform block_until_ready can
+    # return early on chained donated dispatches.
+    np.asarray(x[0, :1])
+
+
+def bench_nbody(n, theta, steps, warmup, chain, distribution, engine,
+                group_size, depth, list_cap, skin, rebuild_interval,
+                drift_mode, verbose=False):
+    """Sustained steps/s with `chain` physics steps per device dispatch."""
+    import jax
+    import jax.numpy as jnp
+    from spatialsim_tpu.config.nbody import NBodyConfig
+    from spatialsim_tpu.models.nbody import NBodyState, make_step_fn
+    from spatialsim_tpu import distributions
+
+    cfg = NBodyConfig(num_bodies=n, theta=theta, G=0.1, softening=2.0,
+                      damping=1.0, spawn_radius=500.0,
+                      distribution=distribution, engine=engine,
+                      group_size=group_size, max_depth=depth,
+                      window_groups=3, list_capacity=list_cap, skin=skin,
+                      rebuild_interval=rebuild_interval,
+                      rebuild_drift_mode=drift_mode)
+    if verbose:
+        print(f"[bench] platform={jax.devices()[0].platform} n={n:,} "
+              f"theta={theta} engine={engine}", file=sys.stderr)
+
+    pos, vel, mass = distributions.generate_distribution(
+        distribution, n, cfg.spawn_radius, cfg.G, seed=0)
+    pos = jnp.asarray(pos.T, jnp.float32)
+    vel = jnp.asarray(vel.T, jnp.float32)
+    mass = jnp.asarray(mass, jnp.float32)
+    # Sustained throughput: `chain` steps per dispatch (lax.scan), as the
+    # recorder does per frame — measures true device step rate including
+    # periodic list rebuilds, not the ~30 ms tunnel dispatch latency.
+    step = make_step_fn(cfg, n, substeps=chain, engine=engine)
+    if engine == "window":
+        from spatialsim_tpu.ops.bh_window import init_window_state
+        state = init_window_state(pos, vel, mass, cfg)
+    else:
+        state = NBodyState(pos=pos, vel=vel, mass=mass)
+    dt = jnp.float32(0.02)
+
+    t0 = time.time()
+    for _ in range(warmup):
+        state = step(state, dt)
+        _sync(state.pos)
+    if verbose:
+        print(f"[bench] warmup+compile {time.time() - t0:.1f}s",
+              file=sys.stderr)
+
+    dispatches = max(1, steps // chain)
+    t0 = time.time()
+    for _ in range(dispatches):
+        state = step(state, dt)
+        _sync(state.pos)
+    elapsed = time.time() - t0
+    return dispatches * chain / elapsed
+
+
+def bench_boids(n, steps, warmup, chain, verbose=False):
+    import jax.numpy as jnp
+    from spatialsim_tpu.config.boids import BoidsConfig
+    from spatialsim_tpu.models.boids import Flock, make_step_fn
+
+    cfg = BoidsConfig(num_boids=n)
+    flock = Flock(config=cfg, seed=0)
+    step = make_step_fn(cfg, substeps=chain)
+    if verbose:
+        print(f"[bench] boids n={n:,} mode={flock.neighbor_mode}",
+              file=sys.stderr)
+    state = flock.state
+    dt = jnp.float32(1.0 / 30.0)
+    for _ in range(warmup):
+        state = step(state, dt)
+        _sync(state.pos)
+    dispatches = max(1, steps // chain)
+    t0 = time.time()
+    for _ in range(dispatches):
+        state = step(state, dt)
+        _sync(state.pos)
+    elapsed = time.time() - t0
+    return dispatches * chain / elapsed
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--bodies", type=int, default=1_000_000)
+    p.add_argument("--only", choices=["1m", "10m", "boids"],
+                   help="run a single metric (default: the full suite)")
+    p.add_argument("--bodies", type=int, default=0,
+                   help="override body count for the nbody metric")
     p.add_argument("--theta", type=float, default=0.8)
     p.add_argument("--steps", type=int, default=96)
     p.add_argument("--warmup", type=int, default=2)
@@ -47,71 +149,52 @@ def main(argv=None) -> int:
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
-    import numpy as np
-    import jax
-    import jax.numpy as jnp
-    from spatialsim_tpu.config.nbody import NBodyConfig
-    from spatialsim_tpu.models.nbody import NBodyState, make_step_fn
-    from spatialsim_tpu import distributions
+    jobs = [args.only] if args.only else ["1m", "10m", "boids"]
+    common = dict(theta=args.theta, warmup=args.warmup,
+                  engine=args.engine, skin=args.skin,
+                  drift_mode=args.drift_mode, verbose=args.verbose)
 
-    n = args.bodies
-    engine = args.engine if args.engine != "auto" else (
-        "allpairs" if n <= 32_768 else "window")
-    cfg = NBodyConfig(num_bodies=n, theta=args.theta, G=0.1, softening=2.0,
-                      damping=1.0, spawn_radius=500.0,
-                      distribution=args.distribution, engine=engine,
-                      group_size=args.group_size, max_depth=args.depth,
-                      window_groups=3, list_capacity=args.list_cap,
-                      skin=args.skin,
-                      rebuild_interval=args.rebuild_interval,
-                      rebuild_drift_mode=args.drift_mode)
-
-    if args.verbose:
-        print(f"[bench] platform={jax.devices()[0].platform} n={n:,} "
-              f"theta={args.theta} engine={engine}", file=sys.stderr)
-
-    pos, vel, mass = distributions.generate_distribution(
-        args.distribution, n, cfg.spawn_radius, cfg.G, seed=0)
-    pos = jnp.asarray(pos.T, jnp.float32)
-    vel = jnp.asarray(vel.T, jnp.float32)
-    mass = jnp.asarray(mass, jnp.float32)
-    # Sustained throughput: `chain` physics steps run inside one device
-    # dispatch (lax.scan), as the recorder does per frame — this measures
-    # true device step rate including periodic list rebuilds, not the
-    # ~30 ms per-dispatch tunnel latency.
-    chain = args.chain
-    step = make_step_fn(cfg, n, substeps=chain, engine=engine)
-    if engine == "window":
-        from spatialsim_tpu.ops.bh_window import init_window_state
-        state = init_window_state(pos, vel, mass, cfg)
-    else:
-        state = NBodyState(pos=pos, vel=vel, mass=mass)
-    dt = jnp.float32(0.02)
-
-    t0 = time.time()
-    for _ in range(args.warmup):
-        state = step(state, dt)
-        _ = np.asarray(state.pos[0, :1])  # force full sync (axon-safe)
-    if args.verbose:
-        print(f"[bench] warmup+compile {time.time() - t0:.1f}s",
-              file=sys.stderr)
-
-    dispatches = max(1, args.steps // chain)
-    t0 = time.time()
-    for _ in range(dispatches):
-        state = step(state, dt)
-        _ = np.asarray(state.pos[0, :1])
-    elapsed = time.time() - t0
-    args.steps = dispatches * chain
-
-    steps_per_sec = args.steps / elapsed
-    baseline = reference_steps_per_sec(n, args.theta)
-    print(json.dumps({
-        "metric": f"nbody_steps_per_sec_{n // 1000}k_theta{args.theta}",
-        "value": round(steps_per_sec, 3),
-        "unit": "steps/s",
-        "vs_baseline": round(steps_per_sec / baseline, 2),
-    }))
+    for job in jobs:
+        if job == "1m":
+            n = args.bodies or 1_000_000
+            rate = bench_nbody(
+                n=n, steps=args.steps, chain=args.chain,
+                distribution=args.distribution, group_size=args.group_size,
+                depth=args.depth, list_cap=args.list_cap,
+                rebuild_interval=args.rebuild_interval, **common)
+            baseline = reference_steps_per_sec(n, args.theta)
+            print(json.dumps({
+                "metric": f"nbody_steps_per_sec_{n // 1000}k_theta{args.theta}",
+                "value": round(rate, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(rate / baseline, 2),
+            }), flush=True)
+        elif job == "10m":
+            n = args.bodies or 10_000_000
+            # EXTREME cluster scale: bigger groups/caps, shorter chain so
+            # the suite stays a few minutes.
+            rate = bench_nbody(
+                n=n, steps=48, chain=24, distribution="cluster",
+                group_size=1024, depth=10, list_cap=8192,
+                rebuild_interval=48, **common)
+            frame_ms = 1000.0 / rate
+            base_ms = 1000.0 / reference_steps_per_sec(n, args.theta)
+            print(json.dumps({
+                "metric": f"nbody_frame_time_ms_{n // 1000}k",
+                "value": round(frame_ms, 1),
+                "unit": "ms/step",
+                "vs_baseline": round(base_ms / frame_ms, 2),
+            }), flush=True)
+        elif job == "boids":
+            n = args.bodies or 100_000
+            rate = bench_boids(n=n, steps=96, warmup=args.warmup, chain=24,
+                               verbose=args.verbose)
+            print(json.dumps({
+                "metric": f"boids_steps_per_sec_{n // 1000}k",
+                "value": round(rate, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(rate / BOIDS_BASELINE_100K, 2),
+            }), flush=True)
     return 0
 
 

@@ -74,13 +74,30 @@ class BaseViewer:
     def on_key(self, key) -> None:
         pass
 
+    def _cull(self, positions, *arrays):
+        """Frustum-cull host arrays before the GL upload (the reference
+        culls every frame before building VBOs, nbody/simulation.py:403-434
+        and boids/flock.py:311-348) — at the default 150K-500K counts the
+        GL vertex load would otherwise be uncapped."""
+        from spatialsim_tpu.render.points import cull_visible
+        keep = cull_visible(positions, self.camera.get_position(),
+                            up=self.camera.get_up(),
+                            width=self.width, height=self.height)
+        return (positions[keep],) + tuple(a[keep] for a in arrays)
+
     # Main loop ------------------------------------------------------------
-    def run(self) -> None:
+    def run(self, max_frames: int = 0) -> None:
+        """Event/update/render loop; ``max_frames`` > 0 exits after that
+        many frames (headless smoke tests)."""
         import pygame
         from OpenGL.GL import (glClear, glLoadMatrixf,
                                GL_COLOR_BUFFER_BIT, GL_DEPTH_BUFFER_BIT)
         from spatialsim_tpu.render.camera import lookat_matrix
+        frames = 0
         while self.running:
+            if max_frames and frames >= max_frames:
+                break
+            frames += 1
             dt = min(self.clock.tick() / 1000.0, self.max_frame_dt)
             for ev in pygame.event.get():
                 if ev.type == pygame.QUIT:
@@ -146,8 +163,9 @@ class NBodyViewer(BaseViewer):
         self.sim.update(dt)
 
     def draw_scene(self) -> None:
-        self._draw_points(self.sim.get_positions(), self.sim.get_colors(),
-                          self.sim.config.point_size)
+        pos, col = self._cull(self.sim.get_positions(),
+                              self.sim.get_colors())
+        self._draw_points(pos, col, self.sim.config.point_size)
 
     def on_key(self, key) -> None:
         import pygame
@@ -188,9 +206,11 @@ class BoidsViewer(BaseViewer):
         # renderer (boids/flock.py:730-782).
         from OpenGL.GL import GL_TRIANGLES
         from spatialsim_tpu.render.boid_geometry import build_boid_vertices
+        pos, vel, col = self._cull(self.flock.get_positions(),
+                                   self.flock.get_velocities(),
+                                   self.flock.get_colors())
         verts, cols = build_boid_vertices(
-            self.flock.get_positions(), self.flock.get_velocities(),
-            self.flock.get_colors(),
+            pos, vel, col,
             cone_length=self.flock.config.size * 2.0,
             cone_radius=self.flock.config.size * 0.7)
         self._draw_arrays(verts, cols, GL_TRIANGLES)

@@ -54,8 +54,12 @@ def resolve_neighbor_mode(config: BoidsConfig) -> str:
             else "window")
 
 
-def make_step_fn(config: BoidsConfig):
-    """Build the jitted flock step: (state, dt) -> state."""
+def make_step_fn(config: BoidsConfig, substeps: int = 1):
+    """Build the jitted flock step: (state, dt) -> state.
+
+    ``substeps`` chains that many physics steps inside one dispatch
+    (``lax.scan``) — the benchmark/recorder path; interactive use keeps 1.
+    """
     import math
 
     from spatialsim_tpu.ops.boids_ops import flocking_forces_window
@@ -75,7 +79,7 @@ def make_step_fn(config: BoidsConfig):
         cohesion_weight=config.cohesion_weight,
         max_speed=config.max_speed, max_force=config.max_force)
 
-    def step(state: BoidsState, dt):
+    def substep(state: BoidsState, dt):
         if mode == "window":
             force, avg_col = flocking_forces_window(
                 state.pos, state.vel, state.col,
@@ -93,6 +97,15 @@ def make_step_fn(config: BoidsConfig):
             wall_force=wall_force, max_speed=config.max_speed,
             color_blend=blend, dt=dt)
         return BoidsState(pos, vel, col)
+
+    if substeps == 1:
+        return jax.jit(substep, donate_argnums=(0,))
+
+    def step(state: BoidsState, dt):
+        def body(s, _):
+            return substep(s, dt), None
+        state, _ = jax.lax.scan(body, state, None, length=substeps)
+        return state
 
     return jax.jit(step, donate_argnums=(0,))
 

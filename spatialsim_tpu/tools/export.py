@@ -181,6 +181,73 @@ class VideoExporter:
         return out
 
 
+def prompt(text: str, default, cast=str, choices=None):
+    """One wizard prompt: ENTER keeps the default, bad input re-asks.
+
+    Mirrors the reference's interactive config prompts
+    (``tools/export.py:793-1042``, ``tools/playback.py:639-733``).
+    """
+    while True:
+        label = f"{text} [{default}]"
+        if choices:
+            label += f" ({'/'.join(str(c) for c in choices)})"
+        try:
+            raw = input(f"{label}: ").strip()
+        except EOFError:
+            return default
+        if not raw:
+            return default
+        try:
+            val = cast(raw)
+        except ValueError:
+            print(f"  invalid {cast.__name__}: {raw!r}")
+            continue
+        if choices and val not in choices:
+            print(f"  pick one of: {', '.join(str(c) for c in choices)}")
+            continue
+        return val
+
+
+def pick_session() -> Optional[str]:
+    """Numbered recording menu -> session name (or None)."""
+    rows = session.list_recordings()
+    if not rows:
+        print("No recordings found")
+        return None
+    print("\nRecordings:")
+    for i, (name, meta, done, total) in enumerate(rows, 1):
+        print(f"  {i:2d}. {name:<28} {done}/{total} frames  "
+              f"{meta.get('num_bodies', 0):,} bodies")
+    try:
+        raw = input("\nSession (number or name, ENTER aborts): ").strip()
+    except EOFError:
+        return None
+    if not raw:
+        return None
+    if raw.isdigit() and 1 <= int(raw) <= len(rows):
+        return rows[int(raw) - 1][0]
+    return raw
+
+
+def export_wizard() -> Optional[ExportConfig]:
+    """Interactive export configuration (reference tools/export.py:793-1042)."""
+    name = pick_session()
+    if name is None:
+        return None
+    return ExportConfig(
+        session_name=name,
+        resolution=prompt("Resolution", "1080p",
+                          choices=sorted(RESOLUTIONS)),
+        quality=prompt("Quality", "high", choices=sorted(QUALITY_CRF)),
+        codec_name=prompt("Codec", "h264", choices=["h264", "h265", "vp9"]),
+        camera_mode=prompt("Camera mode", "orbit",
+                           choices=list(ExportCamera.MODES)),
+        fps=prompt("FPS", 30, int),
+        point_size=prompt("Point size", 2.0, float),
+        brightness=prompt("Brightness", 1.0, float),
+    )
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Export a recording to video")
     p.add_argument("session", nargs="?")
@@ -200,9 +267,16 @@ def main(argv=None) -> int:
     p.add_argument("--list", dest="list_", action="store_true")
     args = p.parse_args(argv)
 
-    if args.list_ or not args.session:
+    if args.list_:
         for name, meta, done, total in session.list_recordings():
             print(f"  {name:<28} {done}/{total} frames")
+        return 0
+    if not args.session:
+        # Interactive wizard when no session was named on the CLI.
+        cfg = export_wizard()
+        if cfg is None:
+            return 1
+        VideoExporter(cfg).export()
         return 0
 
     cfg = ExportConfig(

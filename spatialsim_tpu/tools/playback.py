@@ -151,8 +151,10 @@ def headless_playback(name: str, snapshot_every: int = 0,
 
 
 def interactive_playback(name: str, fps: float = 60.0, speed: float = 1.0,
-                         loop: bool = True) -> int:
-    """pygame/OpenGL viewer; requires a display."""
+                         loop: bool = True, max_frames: int = 0) -> int:
+    """pygame/OpenGL viewer; requires a display (or an offscreen SDL
+    driver).  ``max_frames`` > 0 exits after that many rendered frames
+    (the headless GL smoke-test hook)."""
     rec_dir = session.get_recording_dir(name, create=False)
     meta = session.load_metadata(rec_dir)
     src = FrameSource(rec_dir)
@@ -189,7 +191,11 @@ def interactive_playback(name: str, fps: float = 60.0, speed: float = 1.0,
     playhead = 0.0
     paused = False
     running = True
+    rendered = 0
     while running:
+        if max_frames and rendered >= max_frames:
+            break
+        rendered += 1
         dt = clock.tick(int(fps)) / 1000.0
         for ev in pygame.event.get():
             if ev.type == QUIT:
@@ -222,6 +228,12 @@ def interactive_playback(name: str, fps: float = 60.0, speed: float = 1.0,
             if playhead >= src.total:
                 playhead = 0.0 if loop else src.total - 1.0
         pos, col = src.get(int(playhead))
+        # Frustum cull before the VBO upload (reference culls every frame,
+        # nbody/simulation.py:403-434).
+        from spatialsim_tpu.render.points import cull_visible
+        keep = cull_visible(pos, cam.get_position(), up=cam.get_up(),
+                            width=w, height=h)
+        pos, col = pos[keep], col[keep]
 
         glClear(GL_COLOR_BUFFER_BIT | GL_DEPTH_BUFFER_BIT)
         glLoadMatrixf(lookat_matrix(cam.get_position(), up=cam.get_up()))
@@ -251,21 +263,31 @@ def main(argv=None) -> int:
     p.add_argument("--list", dest="list_", action="store_true")
     args = p.parse_args(argv)
 
-    if args.list_ or not args.session:
+    if args.list_:
         rows = session.list_recordings()
         if not rows:
             print("No recordings found")
-            return 0 if args.list_ else 1
+            return 0
         for name, meta, done, total in rows:
             print(f"  {name:<28} {done}/{total} frames  "
                   f"{meta.get('num_bodies', 0):,} bodies")
         return 0
 
+    name = args.session
+    fps, speed = args.fps, args.speed
+    if not name:
+        # Interactive wizard (reference tools/playback.py:639-733).
+        from spatialsim_tpu.tools.export import pick_session, prompt
+        name = pick_session()
+        if name is None:
+            return 1
+        fps = prompt("Target FPS", fps, float)
+        speed = prompt("Speed multiplier", speed, float)
+
     if args.headless:
-        return headless_playback(args.session, args.snapshots)
+        return headless_playback(name, args.snapshots)
     try:
-        return interactive_playback(args.session, args.fps, args.speed,
-                                    not args.no_loop)
+        return interactive_playback(name, fps, speed, not args.no_loop)
     except Exception as exc:
         print(f"[Playback] interactive viewer unavailable ({exc}); "
               "use --headless")

@@ -9,9 +9,11 @@ from spatialsim_tpu.ops.boids_ops import (flocking_forces,
                                           flocking_forces_window)
 
 
-def _setup(n=4000, seed=0):
+def _setup(n=4000, seed=0, bounds=None):
     rng = np.random.default_rng(seed)
     cfg = BoidsConfig(num_boids=n)
+    if bounds is not None:
+        cfg = cfg.replace(bounds=bounds)
     pos = jnp.asarray((rng.random((3, n)) - 0.5) * 2 * cfg.bounds, jnp.float32)
     vel = jnp.asarray((rng.random((3, n)) - 0.5) * cfg.max_speed, jnp.float32)
     col = jnp.asarray(rng.random((3, n)), jnp.float32)
@@ -30,9 +32,10 @@ def _common(cfg):
 
 
 def test_window_mode_close_to_exact_grid():
-    # Uniform boids at the default density: the Morton window should
-    # capture the large majority of neighbour pairs, so the force field
-    # stays statistically close to the exact grid result.
+    # Uniform boids at the default density: the two-pass Morton window
+    # captures nearly every neighbour pair, so nearly every boid's force
+    # must agree EXACTLY with the grid result (captured pairs use
+    # identical math).
     cfg, pos, vel, col = _setup(6000)
     f_exact, c_exact = flocking_forces(pos, vel, col, cell_range=1,
                                        cell_capacity=32, **_common(cfg))
@@ -40,13 +43,64 @@ def test_window_mode_close_to_exact_grid():
                                           window_groups=3, **_common(cfg))
     fe = np.asarray(f_exact)
     fw = np.asarray(f_win)
-    # Boids with neighbours in both versions should mostly agree exactly
-    # (captured pairs use identical math).
     same = np.isclose(fe, fw, atol=1e-4).all(axis=0)
-    assert same.mean() > 0.85
-    # Magnitudes comparable overall.
+    assert same.mean() > 0.99
     assert abs(np.linalg.norm(fw) - np.linalg.norm(fe)) \
-        < 0.3 * np.linalg.norm(fe) + 1e-6
+        < 0.05 * np.linalg.norm(fe) + 1e-6
+
+
+def _exact_counts(pos, perception_radius):
+    p = np.asarray(pos, np.float64)
+    d2 = ((p[:, :, None] - p[:, None, :]) ** 2).sum(axis=0)
+    return ((d2 > 0.0001) & (d2 < perception_radius ** 2)).sum(axis=1)
+
+
+def test_window_two_pass_capture_rate():
+    """Pair capture >= 99.5% (VERDICT weak #5): count captured neighbour
+    pairs against a brute-force O(N^2) oracle, and confirm no pair is
+    double counted (captured <= exact per boid).
+
+    bounds=60 is ~40x denser than the 500K-default uniform init (at
+    production scale/grid the measured two-pass capture is 100%,
+    scripts/boids_capture.py); bounds=30 below is a torture regime —
+    the whole domain spans only 14 grid cells."""
+    cfg, pos, vel, col = _setup(8000, seed=4, bounds=60)
+    _, _, nb_win = flocking_forces_window(
+        pos, vel, col, group_size=128, window_groups=3,
+        return_counts=True, **_common(cfg))
+    nb_exact = _exact_counts(pos, cfg.perception_radius)
+    nb_win = np.asarray(nb_win)
+    assert nb_exact.sum() > 15_000
+    assert (nb_win <= nb_exact).all(), "double-counted pairs"
+    capture = nb_win.sum() / max(nb_exact.sum(), 1)
+    assert capture >= 0.995, f"capture rate {capture:.4f}"
+
+
+def test_window_two_pass_capture_torture():
+    """Extreme density: 8000 boids across a 14-cell-wide grid."""
+    cfg, pos, vel, col = _setup(8000, seed=3, bounds=30)
+    _, _, nb_win = flocking_forces_window(
+        pos, vel, col, group_size=128, window_groups=3,
+        return_counts=True, **_common(cfg))
+    nb_exact = _exact_counts(pos, cfg.perception_radius)
+    nb_win = np.asarray(nb_win)
+    assert nb_exact.sum() > 100_000
+    assert (nb_win <= nb_exact).all(), "double-counted pairs"
+    capture = nb_win.sum() / max(nb_exact.sum(), 1)
+    assert capture >= 0.985, f"capture rate {capture:.4f}"
+
+
+def test_window_single_pass_is_weaker():
+    """The second pass is what closes the gap (regression guard for the
+    dedup/merge logic actually doing something)."""
+    cfg, pos, vel, col = _setup(8000, seed=3, bounds=30)
+    _, _, nb_two = flocking_forces_window(
+        pos, vel, col, group_size=128, window_groups=3,
+        return_counts=True, **_common(cfg))
+    _, _, nb_one = flocking_forces_window(
+        pos, vel, col, group_size=128, window_groups=3, second_pass=False,
+        return_counts=True, **_common(cfg))
+    assert np.asarray(nb_one).sum() < np.asarray(nb_two).sum()
 
 
 def test_window_mode_dense_cluster_captures_neighbours():

@@ -110,6 +110,41 @@ def test_export_to_video(tmp_path, monkeypatch):
     cap.release()
 
 
+def test_export_wizard(tmp_path, monkeypatch):
+    """No-session export runs the interactive wizard (reference
+    tools/export.py:793-1042): pick session by number, accept defaults."""
+    pytest.importorskip("cv2")
+    from spatialsim_tpu.tools import export
+    _make_session(tmp_path, monkeypatch)
+    answers = iter(["1", "720p", "", "", "", "10", "", ""])
+    monkeypatch.setattr("builtins.input", lambda *a: next(answers))
+    assert export.main([]) == 0
+    assert (tmp_path / "sess" / "sess.mp4").exists()
+
+
+def test_playback_wizard(tmp_path, monkeypatch, capsys):
+    """No-session playback runs the wizard then plays (headless here)."""
+    from spatialsim_tpu.tools import playback
+    _make_session(tmp_path, monkeypatch)
+    answers = iter(["sess", "30", ""])
+    monkeypatch.setattr("builtins.input", lambda *a: next(answers))
+    assert playback.main(["--headless"]) == 0
+    assert "decoded 8 frames" in capsys.readouterr().out
+
+
+def test_wizard_prompt_validation(monkeypatch, capsys):
+    from spatialsim_tpu.tools.export import prompt
+    answers = iter(["nope", "5"])
+    monkeypatch.setattr("builtins.input", lambda *a: next(answers))
+    assert prompt("FPS", 30, int) == 5          # re-asks on bad cast
+    answers = iter([""])
+    monkeypatch.setattr("builtins.input", lambda *a: next(answers))
+    assert prompt("FPS", 30, int) == 30         # ENTER keeps default
+    monkeypatch.setattr("builtins.input",
+                        lambda *a: (_ for _ in ()).throw(EOFError()))
+    assert prompt("FPS", 30, int) == 30         # EOF keeps default
+
+
 def test_export_unique_naming(tmp_path):
     from spatialsim_tpu.tools.export import unique_output_path
     base = tmp_path / "x.mp4"
