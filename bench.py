@@ -60,7 +60,7 @@ def bench_nbody(n, theta, steps, warmup, chain, distribution, engine,
                       damping=1.0, spawn_radius=500.0,
                       distribution=distribution, engine=engine,
                       group_size=group_size, max_depth=depth,
-                      window_groups=3, list_capacity=list_cap, skin=skin,
+                      window_groups=2, list_capacity=list_cap, skin=skin,
                       rebuild_interval=rebuild_interval,
                       rebuild_drift_mode=drift_mode)
     if verbose:
@@ -141,7 +141,7 @@ def main(argv=None) -> int:
                    choices=["auto", "allpairs", "exact", "window"],
                    default="window")
     p.add_argument("--group-size", type=int, default=256)
-    p.add_argument("--depth", type=int, default=9)
+    p.add_argument("--depth", type=int, default=8)
     p.add_argument("--list-cap", type=int, default=6144)
     p.add_argument("--skin", type=float, default=6.0)
     p.add_argument("--rebuild-interval", type=int, default=48)
@@ -171,11 +171,11 @@ def main(argv=None) -> int:
             }), flush=True)
         elif job == "10m":
             n = args.bodies or 10_000_000
-            # EXTREME cluster scale: bigger groups/caps, shorter chain so
-            # the suite stays a few minutes.
+            # EXTREME cluster scale: auto-tuned engine geometry
+            # (resolve_config), shorter chain so the suite stays minutes.
             rate = bench_nbody(
                 n=n, steps=48, chain=24, distribution="cluster",
-                group_size=1024, depth=10, list_cap=8192,
+                group_size=0, depth=0, list_cap=0,
                 rebuild_interval=48, **common)
             frame_ms = 1000.0 / rate
             base_ms = 1000.0 / reference_steps_per_sec(n, args.theta)

@@ -43,7 +43,7 @@ def main():
     cfg = NBodyConfig(
         num_bodies=n, theta=0.8, G=0.1, softening=2.0, damping=1.0,
         spawn_radius=500.0, distribution="galaxy", engine="window",
-        max_depth=9, group_size=256, window_groups=3, list_capacity=6144,
+        max_depth=8, group_size=256, window_groups=2, list_capacity=6144,
         skin=6.0, rebuild_interval=48, rebuild_drift_mode="off")
     print(f"n={n:,} platform={jax.devices()[0].platform}", flush=True)
 

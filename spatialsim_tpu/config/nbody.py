@@ -36,10 +36,13 @@ class NBodyConfig:
 
     # --- TPU-native tuning knobs (no reference equivalent) ---
     # Barnes-Hut engine geometry; see spatialsim_tpu/ops/octree.py.
-    max_depth: int = 10          # octree depth (Morton bits per axis)
+    # Fields marked "0 = auto" are resolved by body count in
+    # resolve_config() — the values below were validated against a
+    # direct-sum force oracle at 1M/10M (scripts/nbody_error_scan.py).
+    max_depth: int = 0           # octree depth; 0 = auto by N
     leaf_size: int = 8           # cells with <= leaf_size bodies are leaves
-    group_size: int = 256        # bodies per traversal group (Morton-contiguous)
-    list_capacity: int = 4096    # far-field interaction list per group
+    group_size: int = 0          # bodies per Morton group; 0 = auto by N
+    list_capacity: int = 0       # far-list capacity per group; 0 = auto
     near_capacity: int = 2048    # near-field body list per group
     frontier_capacity: int = 1024  # traversal frontier per group per level
     # All-pairs vs Barnes-Hut switch (reference picks backends by N at
@@ -50,9 +53,9 @@ class NBodyConfig:
     #   engine: "auto" (windowed above allpairs_threshold), "exact"
     #   (per-step reference-parity traversal), "window" (amortized).
     engine: str = "auto"
-    window_groups: int = 3       # Morton window half-width, in groups
-    skin: float = 4.0            # Verlet-list acceptance dilation
-    rebuild_interval: int = 16   # max steps between list rebuilds
+    window_groups: int = 2       # Morton window half-width, in groups
+    skin: float = 6.0            # Verlet-list acceptance dilation
+    rebuild_interval: int = 48   # max steps between list rebuilds
     # Drift rebuild policy: "max" rebuilds when ANY body moves > skin/2
     # since the last build (strict Verlet safety — one fast core body can
     # force very frequent rebuilds); "off" relies on rebuild_interval
@@ -62,26 +65,36 @@ class NBodyConfig:
     # validated production policy.
     rebuild_drift_mode: str = "off"
     use_pallas_eval: bool = True  # fused Pallas per-step evaluation
-    # Frontier capacity for octree levels >= 7 during list rebuild (deep
-    # levels only visit the group's neighbourhood).  0 = same as
-    # frontier_capacity.  Shrinking it speeds the rebuild but overflow
-    # degrades nearby cells to monopoles — validate accuracy when tuning.
-    deep_frontier_capacity: int = 0
-    # Two-phase rebuild: coarse levels run once per `supergroup` sibling
-    # groups, their theta-accepted cells land in a shared list (size
-    # shared_capacity).  1 = single-phase.
-    supergroup: int = 1
-    shared_capacity: int = 2048
-    # Rebuild traversal layout: "global" worklist (cost ∝ actual visited
-    # pairs; robust to skewed densities) or "pergroup" static frontiers.
-    build_mode: str = "global"
-    worklist_budget: int = 0     # 0 = auto (min(4M, max(256K, 4N)))
+    # Global-worklist size budget for the rebuild traversal; overflow
+    # degrades entries to bounded-error monopoles/residuals.
+    # 0 = auto (min(6M, max(256K, 5*npad))).
+    worklist_budget: int = 0
 
     # dt cap applied inside the simulation step (reference simulation.py:802).
     max_dt: float = 0.02
 
     def replace(self, **kw) -> "NBodyConfig":
         return dataclasses.replace(self, **kw)
+
+
+def resolve_config(config: NBodyConfig, n: int) -> NBodyConfig:
+    """Fill the 0-valued auto-tuning fields for a given body count.
+
+    Settings chosen by on-chip scans against a direct-sum force oracle
+    (scripts/nbody_error_scan.py): depth 8 at ≤2M bodies both *improves*
+    the error tail (fewer worklist/list saturation folds) and cuts the
+    rebuild ~40% vs depth 9; group 1024 / list 8192 is the validated 10M
+    (EXTREME) shape.  Explicit nonzero fields are left untouched.
+    """
+    kw = {}
+    if config.max_depth == 0:
+        kw["max_depth"] = 8 if n <= 2_000_000 else (
+            9 if n <= 20_000_000 else 10)
+    if config.group_size == 0:
+        kw["group_size"] = 256 if n <= 4_000_000 else 1024
+    if config.list_capacity == 0:
+        kw["list_capacity"] = 6144 if n <= 4_000_000 else 8192
+    return config.replace(**kw) if kw else config
 
 
 # Module-dict constants kept for parity with the reference UI layers

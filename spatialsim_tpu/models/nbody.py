@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spatialsim_tpu.config.nbody import NBodyConfig, NBODY
+from spatialsim_tpu.config.nbody import NBodyConfig, NBODY, resolve_config
 from spatialsim_tpu.ops.integrator import integrate
 from spatialsim_tpu.ops.colors import colors_by_velocity
 from spatialsim_tpu.ops.allpairs import allpairs_accel
@@ -53,6 +53,7 @@ def resolve_engine(config: NBodyConfig, n: int) -> str:
 
 
 def make_accel_fn(config: NBodyConfig, n: int, engine: str = None):
+    config = resolve_config(config, n)
     engine = engine or resolve_engine(config, n)
     if engine == "window":
         raise ValueError("the window engine is stateful; use "
@@ -78,6 +79,7 @@ def make_step_fn(config: NBodyConfig, n: int, substeps: int = 1,
     For the windowed production engine the returned step takes/returns a
     ``WindowBHState`` instead (same pos/vel/mass leaves plus the lists).
     """
+    config = resolve_config(config, n)
     engine = engine or resolve_engine(config, n)
     if engine == "window":
         from spatialsim_tpu.ops.bh_window import make_window_step
@@ -139,6 +141,7 @@ class NBodySimulation:
 
     def _init_state(self, pos, vel, mass):
         """Build engine-appropriate device state + jitted step."""
+        self.config = resolve_config(self.config, self.num_bodies)
         self.engine = resolve_engine(self.config, self.num_bodies)
         if self.engine == "window":
             from spatialsim_tpu.ops.bh_window import init_window_state

@@ -232,6 +232,8 @@ def barnes_hut_accel_impl(pos, mass, *, theta, G, softening, max_depth=10,
 
 def barnes_hut_accel(pos, mass, config):
     """Config-driven wrapper used by the model layer."""
+    from spatialsim_tpu.config.nbody import resolve_config
+    config = resolve_config(config, pos.shape[1])
     return barnes_hut_accel_impl(
         pos, mass, theta=config.theta, G=config.G,
         softening=config.softening, max_depth=config.max_depth,

@@ -75,253 +75,6 @@ def _exclusive_cumsum(x):
 SLIVER_CAP = 64  # >= 4 emissions/level x levels; deterministic bound
 
 
-def _traverse_coarse(sgidx, bbox_min, bbox_max, tree, *, theta, soft_sq,
-                     skin, gsz, groups_per_sg, window_groups, shared_cap,
-                     coarse_levels, frontier_cap, out_frontier_cap):
-    """Phase A: one supergroup's coarse traversal (levels 2..deep-1).
-
-    Amortizes the coarse levels over ``groups_per_sg`` sibling groups:
-    cells far from the WHOLE supergroup are θ-accepted once into a shared
-    list; everything else (including anything intersecting the union of
-    the member groups' windows) stays open and is handed to the per-group
-    deep phase as its starting frontier.
-    """
-    F = frontier_cap
-    lo = (sgidx * groups_per_sg - window_groups) * gsz
-    hi = ((sgidx + 1) * groups_per_sg + window_groups) * gsz
-
-    levels = tree.levels
-    c0 = levels[0].code.shape[0]
-    init = jnp.arange(F, dtype=jnp.int32)
-    frontier = jnp.where(init < jnp.minimum(c0, levels[0].n_cells), init, -1)
-
-    shared = jnp.zeros((shared_cap, 8), jnp.float32)
-    shared_n = jnp.int32(0)
-    theta_sq = theta * theta
-    bbox_min = bbox_min - skin
-    bbox_max = bbox_max + skin
-
-    for li in range(coarse_levels):
-        lv = levels[li]
-        level = tree.start_level + li
-        side = 2.0 * tree.half / (2 ** level)
-
-        valid = frontier >= 0
-        idx = jnp.clip(frontier, 0, lv.code.shape[0] - 1)
-        ccom = lv.com[:, idx]
-        cvel = lv.vel[:, idx]
-        cmass = jnp.where(valid, lv.mass[idx], 0.0)
-        ccount = jnp.where(valid, lv.count[idx], 0)
-        cstart = jnp.where(valid, lv.body_start[idx], 0)
-        cend = cstart + ccount
-        vals8 = jnp.concatenate(
-            [ccom.T, cvel.T, cmass[:, None],
-             jnp.zeros((cmass.shape[0], 1), jnp.float32)], axis=1)
-
-        # Anything touching the union window span must reach phase B.
-        outside_span = valid & ((cend <= lo) | (cstart >= hi))
-
-        gap = jnp.maximum(bbox_min[:, None] - ccom, ccom - bbox_max[:, None])
-        gap = jnp.maximum(gap, 0.0)
-        dmin_sq = jnp.sum(gap * gap, axis=0) + soft_sq
-        theta_ok = side * side < theta_sq * dmin_sq
-
-        emit = outside_span & (theta_ok | (ccount <= 1))
-        open_ = valid & ~emit
-
-        pos = shared_n + _exclusive_cumsum(emit.astype(jnp.int32))
-        slot = jnp.where(emit & (pos < shared_cap), pos, shared_cap)
-        shared = shared.at[slot, :].set(vals8, mode="drop")
-        shared_n = jnp.minimum(
-            shared_n + jnp.sum(emit.astype(jnp.int32)), shared_cap)
-
-        F_next = F if li + 1 < coarse_levels else out_frontier_cap
-        cc = jnp.where(open_, lv.child_count[idx], 0)
-        # Prioritized compaction, three classes:
-        #   1. span-touching cells MUST reach phase B (a coarse emission
-        #      could double count some member's window bodies);
-        #   2. geometrically-close cells (dmin < side/θ', θ' = 2θ) should
-        #      keep descending — their monopole error is unbounded;
-        #   3. quasi-acceptable far cells claim slots last; on overflow
-        #      THEY get emitted coarse, with criterion violation bounded
-        #      to the θ..2θ band.
-        touch = open_ & ~outside_span
-        close = open_ & ~touch \
-            & (side * side >= (4.0 * theta_sq) * dmin_sq)
-        rest = open_ & ~touch & ~close
-
-        def ordered_offsets(masks):
-            offs = jnp.zeros_like(cc)
-            base = jnp.int32(0)
-            for mk in masks:
-                cck = jnp.where(mk, cc, 0)
-                offs = jnp.where(mk, base + _exclusive_cumsum(cck), offs)
-                base = base + jnp.sum(cck)
-            return offs
-
-        offs = ordered_offsets((touch, close, rest))
-        ovf = open_ & ~touch & (offs + cc > F_next)
-        pos = shared_n + _exclusive_cumsum(ovf.astype(jnp.int32))
-        slot = jnp.where(ovf & (pos < shared_cap), pos, shared_cap)
-        shared = shared.at[slot, :].set(vals8, mode="drop")
-        shared_n = jnp.minimum(
-            shared_n + jnp.sum(ovf.astype(jnp.int32)), shared_cap)
-        open_ = open_ & ~ovf
-        cc = jnp.where(open_, cc, 0)
-        offs = ordered_offsets((touch & open_, close & open_,
-                                rest & open_))
-        cs = jnp.where(open_, lv.child_start[idx], 0)
-        j = jnp.arange(8, dtype=jnp.int32)
-        cand = (cs[:, None] + j[None, :]).reshape(-1)
-        tpos = (offs[:, None] + j[None, :]).reshape(-1)
-        cvalid = (j[None, :] < cc[:, None]).reshape(-1)
-        tpos = jnp.where(cvalid, tpos, F_next)
-        frontier = jnp.full((F_next,), -1, jnp.int32).at[tpos].set(
-            cand, mode="drop")
-
-    return shared, shared_n, frontier
-
-
-def _traverse_emit(gidx, bbox_min, bbox_max, tree, *, theta, soft_sq,
-                   skin, gsz, window_groups, list_cap, n_levels,
-                   frontier_caps, init_frontier=None, start_li=0):
-    """One group's traversal.
-
-    Emits far entries as frozen moment VALUES ``[com, vel, mass, 0]``
-    directly from the level arrays (no post-hoc prefix gather).  Cells
-    that straddle the group's window boundary can't be value-emitted
-    (their in-window part would double count), so their window-clipped
-    body ranges go to a small ``sliver`` list — at most 2 straddle cells
-    exist per level (the cells containing the window's two boundary
-    indices), so ``SLIVER_CAP`` is a hard bound, not a heuristic.
-    """
-    lo = (gidx - window_groups) * gsz
-    hi = (gidx + window_groups + 1) * gsz
-
-    levels = tree.levels
-    if init_frontier is None:
-        F0 = frontier_caps[0]
-        c0 = levels[0].code.shape[0]
-        init = jnp.arange(F0, dtype=jnp.int32)
-        frontier = jnp.where(init < jnp.minimum(c0, levels[0].n_cells),
-                             init, -1)
-    else:
-        frontier = init_frontier
-
-    far_vals = jnp.zeros((list_cap, 8), jnp.float32)
-    far_n = jnp.int32(0)
-    sl_start = jnp.zeros((SLIVER_CAP,), jnp.int32)
-    sl_end = jnp.zeros((SLIVER_CAP,), jnp.int32)
-    sl_n = jnp.int32(0)
-    theta_sq = theta * theta
-
-    bbox_min = bbox_min - skin
-    bbox_max = bbox_max + skin
-
-    def emit_values(mask, vals8, far_vals, far_n):
-        pos = far_n + _exclusive_cumsum(mask.astype(jnp.int32))
-        slot = jnp.where(mask & (pos < list_cap), pos, list_cap)
-        far_vals = far_vals.at[slot, :].set(vals8, mode="drop")
-        far_n = jnp.minimum(far_n + jnp.sum(mask.astype(jnp.int32)),
-                            list_cap)
-        return far_vals, far_n
-
-    def emit_slivers(mask, s, e, sl_start, sl_end, sl_n):
-        for ps, pe in ((s, jnp.minimum(e, lo)), (jnp.maximum(s, hi), e)):
-            take = mask & (pe > ps)
-            pos = sl_n + _exclusive_cumsum(take.astype(jnp.int32))
-            slot = jnp.where(take, pos, SLIVER_CAP)
-            sl_start = sl_start.at[slot].set(ps, mode="drop")
-            sl_end = sl_end.at[slot].set(pe, mode="drop")
-            sl_n = sl_n + jnp.sum(take.astype(jnp.int32))
-        return sl_start, sl_end, sl_n
-
-    for li in range(start_li, n_levels):
-        lv = levels[li]
-        level = tree.start_level + li
-        side = 2.0 * tree.half / (2 ** level)
-        last = li == n_levels - 1
-        F_next = frontier_caps[min(li + 1, n_levels - 1)]
-
-        valid = frontier >= 0
-        idx = jnp.clip(frontier, 0, lv.code.shape[0] - 1)
-        ccom = lv.com[:, idx]
-        cvel = lv.vel[:, idx]
-        cmass = jnp.where(valid, lv.mass[idx], 0.0)
-        ccount = jnp.where(valid, lv.count[idx], 0)
-        cstart = jnp.where(valid, lv.body_start[idx], 0)
-        cend = cstart + ccount
-        vals8 = jnp.concatenate(
-            [ccom.T, cvel.T, cmass[:, None],
-             jnp.zeros((cmass.shape[0], 1), jnp.float32)], axis=1)
-
-        in_window = valid & (cstart >= lo) & (cend <= hi)
-        straddle = valid & ~in_window & (cstart < hi) & (cend > lo)
-        outside = valid & ~in_window & ~straddle
-
-        gap = jnp.maximum(bbox_min[:, None] - ccom, ccom - bbox_max[:, None])
-        gap = jnp.maximum(gap, 0.0)
-        dmin_sq = jnp.sum(gap * gap, axis=0) + soft_sq
-        theta_ok = side * side < theta_sq * dmin_sq
-
-        emit_val = outside & (theta_ok | (ccount <= 1))
-        emit_sl = straddle & (ccount <= 1)
-        if last:
-            emit_val = emit_val | (outside & ~emit_val)
-            emit_sl = emit_sl | (straddle & ~emit_sl)
-            open_ = jnp.zeros_like(valid)
-        else:
-            open_ = ((outside & ~emit_val) | (straddle & ~emit_sl)) \
-                & (ccount > 1)
-
-        far_vals, far_n = emit_values(emit_val, vals8, far_vals, far_n)
-        sl_start, sl_end, sl_n = emit_slivers(
-            emit_sl, cstart, cend, sl_start, sl_end, sl_n)
-
-        if not last:
-            cc = jnp.where(open_, lv.child_count[idx], 0)
-            # Priority compaction (see _traverse_coarse): straddlers must
-            # descend, close cells next, quasi-acceptable far cells last —
-            # overflow then degrades only bounded-error cells.
-            p_straddle = open_ & straddle
-            p_close = open_ & ~straddle \
-                & (side * side >= (4.0 * theta_sq) * dmin_sq)
-            p_rest = open_ & ~straddle & ~p_close
-
-            def ordered_offsets(masks):
-                offs = jnp.zeros_like(cc)
-                base = jnp.int32(0)
-                for mk in masks:
-                    cck = jnp.where(mk, cc, 0)
-                    offs = jnp.where(mk, base + _exclusive_cumsum(cck),
-                                     offs)
-                    base = base + jnp.sum(cck)
-                return offs
-
-            offs = ordered_offsets((p_straddle, p_close, p_rest))
-            ovf = open_ & (offs + cc > F_next)
-            # Frontier overflow degrades to the parent's monopole (values
-            # for wholly-outside cells, clipped ranges for straddlers).
-            far_vals, far_n = emit_values(ovf & outside, vals8,
-                                          far_vals, far_n)
-            sl_start, sl_end, sl_n = emit_slivers(
-                ovf & straddle, cstart, cend, sl_start, sl_end, sl_n)
-            open_ = open_ & ~ovf
-            cc = jnp.where(open_, cc, 0)
-            offs = ordered_offsets((p_straddle & open_, p_close & open_,
-                                    p_rest & open_))
-            cs = jnp.where(open_, lv.child_start[idx], 0)
-            j = jnp.arange(8, dtype=jnp.int32)
-            cand = (cs[:, None] + j[None, :]).reshape(-1)
-            tpos = (offs[:, None] + j[None, :]).reshape(-1)
-            cvalid = (j[None, :] < cc[:, None]).reshape(-1)
-            tpos = jnp.where(cvalid, tpos, F_next)
-            frontier = jnp.full((F_next,), -1, jnp.int32).at[tpos].set(
-                cand, mode="drop")
-
-    return far_vals, far_n, sl_start, sl_end, sl_n
-
-
 def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
                      gsz, window_groups, list_cap, n_levels, wl_caps,
                      group_offset=0):
@@ -482,10 +235,10 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
 
         if not last:
             W_next = wl_caps[li + 1]
-            cc = jnp.where(open_, lv.child_count[cidx], 0)
-            base_pos = jnp.cumsum(cc) - cc
+            cc0 = jnp.where(open_, lv.child_count[cidx], 0)
+            base0 = jnp.cumsum(cc0) - cc0
             # Worklist overflow: whole entries degrade (values/slivers).
-            ovf = open_ & (base_pos + cc > W_next)
+            ovf = open_ & (base0 + cc0 > W_next)
             emit_val = emit_val | (ovf & outside)
             emit_sl = emit_sl | (ovf & straddle)
 
@@ -495,25 +248,35 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
             emit_sl, cstart, cend, (sl_start, sl_end, sl_n))
 
         if not last:
-            # Children of overflowed entries are invalidated in place (the
-            # slot gaps stay inactive) — avoids a second cumsum pass.
-            cs = jnp.where(open_, lv.child_start[cidx], 0)
-            j = jnp.arange(8, dtype=jnp.int32)
-            cand_c = (cs[:, None] + j[None, :]).reshape(-1)
-            cand_g = jnp.broadcast_to(wl_g[:, None], (W, 8)).reshape(-1)
-            tpos = (base_pos[:, None] + j[None, :]).reshape(-1)
-            has_child = (j[None, :] < cc[:, None]).reshape(-1)
-            live = has_child & ~jnp.broadcast_to(
-                ovf[:, None], (W, 8)).reshape(-1)
-            # Gap slots (overflowed entries' children) still get their
-            # group id so wl_g stays sorted for the segment bases; their
-            # cell stays -1 (inactive).
-            wl_g = jnp.full((W_next,), ng, jnp.int32).at[
-                jnp.where(has_child, tpos, W_next)].set(
-                cand_g, mode="drop")
-            wl_c = jnp.full((W_next,), -1, jnp.int32).at[
-                jnp.where(live, tpos, W_next)].set(cand_c, mode="drop")
-            wl_n = jnp.minimum(base_pos[-1] + cc[-1], W_next)
+            # Child expansion by RUN RECONSTRUCTION instead of per-child
+            # scatter: children of an open cell are contiguous
+            # (child_start .. +cc), so scatter one run descriptor per
+            # parent (W updates x3) and rebuild the child list with a
+            # cumsum + gathers over W_next — ~7W memory ops vs the 16W of
+            # scattering every (cell, group) child individually.
+            cc = jnp.where(ovf, 0, cc0)
+            base = jnp.cumsum(cc) - cc                 # gapless offsets
+            has = cc > 0
+            ridx = jnp.cumsum(has.astype(jnp.int32)) - has
+            rpos = jnp.where(has, ridx, W)
+            cs = lv.child_start[cidx]
+            run_cs = jnp.zeros((W,), jnp.int32).at[rpos].set(
+                cs, mode="drop")
+            run_g = jnp.full((W,), ng, jnp.int32).at[rpos].set(
+                wl_g, mode="drop")
+            run_base = jnp.zeros((W,), jnp.int32).at[rpos].set(
+                base, mode="drop")
+            # Run starts marked in the child domain; bases are distinct
+            # (strictly increasing by cc >= 1 per open parent).
+            mark = jnp.zeros((W_next,), jnp.int32).at[
+                jnp.where(has, base, W_next)].set(1, mode="drop")
+            seg = jnp.clip(jnp.cumsum(mark) - 1, 0, W - 1)
+            slot = jnp.arange(W_next, dtype=jnp.int32)
+            wl_n = base[-1] + cc[-1]
+            live = slot < wl_n
+            wl_c = jnp.where(live, run_cs[seg] + (slot - run_base[seg]),
+                             -1)
+            wl_g = jnp.where(live, run_g[seg], ng)
             wl_sizes.append(wl_n)
 
     # Assemble the (ng, 8, L) eval tensor (entries on the minor/lane dim).
@@ -548,24 +311,19 @@ def _default_wl_caps(ng: int, n_levels: int, budget: int, c0: int = 64):
 @functools.partial(
     jax.jit,
     static_argnames=("theta", "softening", "skin", "max_depth", "group_size",
-                     "window_groups", "list_cap", "group_chunk",
-                     "frontier_cap", "deep_frontier_cap", "deep_level",
-                     "supergroup", "shared_cap", "build_mode",
-                     "worklist_budget", "n_groups"))
+                     "window_groups", "list_cap", "worklist_budget",
+                     "n_groups"))
 def build_lists(pos, vel, mass, *, theta, softening, skin=4.0, max_depth=10,
                 group_size=256, window_groups=3, list_cap=2048,
-                group_chunk=128, frontier_cap=512, deep_frontier_cap=256,
-                deep_level=7, supergroup=1, shared_cap=2048,
-                build_mode="global", worklist_budget=0,
-                group_offset=0, n_groups=None):
-    """Morton-sort + octree + traversal -> :class:`BHLists`.
+                worklist_budget=0, group_offset=0, n_groups=None):
+    """Morton-sort + octree + global-worklist traversal -> :class:`BHLists`.
 
-    ``build_mode="global"`` (default) uses the global-worklist traversal
-    (cost proportional to actual visited pairs — the right shape for
-    skewed densities).  ``"pergroup"`` keeps the per-group frontier
-    variant; with ``supergroup > 1`` its coarse levels run once per
-    supergroup (phase A) into a shared list — an experimental layout
-    whose frontier demand explodes for dense cores, kept for study.
+    The traversal visits all (group, cell) pairs of one octree level in a
+    single flat worklist, so its cost is proportional to the pairs
+    actually visited (robust to skewed densities; see _traverse_global).
+    A per-group static-frontier variant and a two-phase supergroup layout
+    were studied in round 1 and removed — both lost to the global
+    worklist on dense cores.
 
     ``group_offset`` (traced) + ``n_groups`` (static) restrict the
     traversal and the returned lists to a contiguous group range — the
@@ -578,9 +336,7 @@ def build_lists(pos, vel, mass, *, theta, softening, skin=4.0, max_depth=10,
     codes = morton_encode(pos, half, max_depth)
     order = jnp.argsort(codes).astype(jnp.int32)
 
-    S = max(1, supergroup)
-    block = gsz * S
-    npad = ((n + block - 1) // block) * block
+    npad = ((n + gsz - 1) // gsz) * gsz
     pad = npad - n
     order_pad = jnp.concatenate(
         [order, jnp.broadcast_to(order[-1], (pad,))])
@@ -594,11 +350,6 @@ def build_lists(pos, vel, mass, *, theta, softening, skin=4.0, max_depth=10,
     tree = build_octree(s_codes, s_pos, s_mass, half, max_depth=max_depth,
                         start_level=2, n=npad, sorted_vel=s_vel)
     n_levels = len(tree.levels)
-    start_level = 2
-    # Deep levels visit only the group's neighbourhood: smaller frontier.
-    frontier_caps = tuple(
-        frontier_cap if (start_level + li) < deep_level
-        else deep_frontier_cap for li in range(n_levels))
 
     ng_total = npad // gsz
     ng = n_groups or ng_total
@@ -611,81 +362,19 @@ def build_lists(pos, vel, mass, *, theta, softening, skin=4.0, max_depth=10,
         bbox_min = jax.lax.dynamic_slice_in_dim(bbox_min, group_offset, ng)
         bbox_max = jax.lax.dynamic_slice_in_dim(bbox_max, group_offset, ng)
 
-    coarse_levels = deep_level - start_level
-    two_phase = build_mode == "pergroup" and S > 1 \
-        and 0 < coarse_levels < n_levels
-
-    common = dict(tree=tree, theta=float(theta),
-                  soft_sq=float(softening) ** 2, skin=float(skin), gsz=gsz,
-                  window_groups=window_groups)
-
-    if build_mode == "global":
-        budget = worklist_budget or min(6_000_000, max(262_144, 5 * npad))
-        wl_caps = _default_wl_caps(ng, n_levels, budget,
-                                   c0=tree.levels[0].code.shape[0])
-        far, far_n, sl_start, sl_end, sl_n, res, _wl = _traverse_global(
-            tree, bbox_min, bbox_max, ng, theta=float(theta),
-            soft_sq=float(softening) ** 2, skin=float(skin), gsz=gsz,
-            window_groups=window_groups, list_cap=list_cap,
-            n_levels=n_levels, wl_caps=wl_caps, group_offset=group_offset)
-        shared = jnp.zeros((1, 8, 128), jnp.float32)
-        shared_n = jnp.zeros((1,), jnp.int32)
-        return _finish_lists(far, far_n, sl_start, sl_end, sl_n, res,
-                             shared, shared_n, s_pos, s_vel, s_mass, order,
-                             order_pad, pos, n, list_cap)
-
-    def mapped(fn, args, chunk):
-        m = args[0].shape[0]
-        c = min(chunk, m)
-        if m % c != 0:
-            c = m
-        parts = tuple(a.reshape((m // c, c) + a.shape[1:]) for a in args)
-        out = jax.lax.map(lambda xs: jax.vmap(fn)(*xs), parts)
-        return tuple(o.reshape((m,) + o.shape[2:]) for o in out)
-
-    if two_phase:
-        nsg = ng // S
-        sgb_min = bbox_min.reshape(nsg, S, 3).min(axis=1)
-        sgb_max = bbox_max.reshape(nsg, S, 3).max(axis=1)
-        coarse = functools.partial(
-            _traverse_coarse, groups_per_sg=S, shared_cap=shared_cap,
-            coarse_levels=coarse_levels, frontier_cap=frontier_cap,
-            out_frontier_cap=frontier_cap, **common)
-        shared, shared_n, mid = mapped(
-            coarse,
-            (jnp.arange(nsg, dtype=jnp.int32), sgb_min, sgb_max),
-            max(1, group_chunk // S))
-        init_frontier = jnp.repeat(mid, S, axis=0)        # (ng, F)
-        emit = functools.partial(
-            _traverse_emit, list_cap=list_cap, n_levels=n_levels,
-            frontier_caps=frontier_caps, start_li=coarse_levels, **common)
-        fv, fn, sls, sle, sln = mapped(
-            lambda gi, bmin, bmax, fr: emit(gi, bmin, bmax,
-                                            init_frontier=fr),
-            (jnp.arange(ng, dtype=jnp.int32), bbox_min, bbox_max,
-             init_frontier), group_chunk)
-    else:
-        nsg = 1
-        shared = jnp.zeros((1, 8, 128), jnp.float32)
-        shared_n = jnp.zeros((1,), jnp.int32)
-        emit = functools.partial(
-            _traverse_emit, list_cap=list_cap, n_levels=n_levels,
-            frontier_caps=frontier_caps, **common)
-        fv, fn, sls, sle, sln = mapped(
-            emit, (jnp.arange(ng, dtype=jnp.int32), bbox_min, bbox_max),
-            group_chunk)
-
-    far = fv.reshape(ng, list_cap, 8).transpose(0, 2, 1)   # -> (ng, 8, L)
-    if two_phase:
-        shared = shared.reshape(nsg, -1, 8).transpose(0, 2, 1)
-    far_n = fn.reshape(ng)
-    sl_start = sls.reshape(ng, SLIVER_CAP)
-    sl_end = sle.reshape(ng, SLIVER_CAP)
-    sl_n = sln.reshape(ng)
-    res = jnp.zeros((ng, 7), jnp.float32)
-    return _finish_lists(far, far_n, sl_start, sl_end, sl_n, res, shared,
-                         shared_n, s_pos, s_vel, s_mass, order, order_pad,
-                         pos, n, list_cap)
+    budget = worklist_budget or min(6_000_000, max(262_144, 5 * npad))
+    wl_caps = _default_wl_caps(ng, n_levels, budget,
+                               c0=tree.levels[0].code.shape[0])
+    far, far_n, sl_start, sl_end, sl_n, res, _wl = _traverse_global(
+        tree, bbox_min, bbox_max, ng, theta=float(theta),
+        soft_sq=float(softening) ** 2, skin=float(skin), gsz=gsz,
+        window_groups=window_groups, list_cap=list_cap,
+        n_levels=n_levels, wl_caps=wl_caps, group_offset=group_offset)
+    shared = jnp.zeros((1, 8, 128), jnp.float32)
+    shared_n = jnp.zeros((1,), jnp.int32)
+    return _finish_lists(far, far_n, sl_start, sl_end, sl_n, res,
+                         shared, shared_n, s_pos, s_vel, s_mass, order,
+                         order_pad, pos, n, list_cap)
 
 
 def _finish_lists(far, far_n, sl_start, sl_end, sl_n, res, shared, shared_n,
@@ -885,17 +574,11 @@ class WindowBHState(NamedTuple):
 
 
 def _build_kw(config):
-    deep = getattr(config, "deep_frontier_capacity", 0)
     return dict(theta=config.theta, softening=config.softening,
                 skin=config.skin, max_depth=config.max_depth,
                 group_size=config.group_size,
                 window_groups=config.window_groups,
                 list_cap=config.list_capacity,
-                frontier_cap=config.frontier_capacity,
-                deep_frontier_cap=deep or config.frontier_capacity,
-                supergroup=getattr(config, "supergroup", 1),
-                shared_cap=getattr(config, "shared_capacity", 2048),
-                build_mode=getattr(config, "build_mode", "global"),
                 worklist_budget=getattr(config, "worklist_budget", 0))
 
 
@@ -905,6 +588,8 @@ def make_window_step(config, n: int, substeps: int = 1):
     Rebuilds when ``steps_since >= rebuild_interval`` OR any body drifted
     more than ``skin/2`` since the last build (Verlet-list safety).
     """
+    from spatialsim_tpu.config.nbody import resolve_config
+    config = resolve_config(config, n)
     kw = _build_kw(config)
     ekw = dict(G=config.G, softening=config.softening,
                group_size=config.group_size,
@@ -940,6 +625,8 @@ def make_window_step(config, n: int, substeps: int = 1):
 
 
 def init_window_state(pos, vel, mass, config) -> WindowBHState:
+    from spatialsim_tpu.config.nbody import resolve_config
+    config = resolve_config(config, pos.shape[1])
     lists = build_lists(pos, vel, mass, **_build_kw(config))
     return WindowBHState(pos, vel, mass, lists)
 
@@ -953,39 +640,49 @@ def build_diagnostics(pos, vel, mass, config):
     wl_caps/list_capacity tuning.
     """
     import numpy as np
+    from spatialsim_tpu.config.nbody import resolve_config
+    from spatialsim_tpu.ops.octree import level_capacity
+    config = resolve_config(config, pos.shape[1])
     kw = _build_kw(config)
-    if kw["build_mode"] != "global":
-        raise ValueError("diagnostics cover the global worklist build")
     n = pos.shape[1]
     gsz = kw["group_size"]
-    half = compute_bounds(pos)
-    codes = morton_encode(pos, half, kw["max_depth"])
-    order = jnp.argsort(codes).astype(jnp.int32)
+    max_depth = kw["max_depth"]
     npad = ((n + gsz - 1) // gsz) * gsz
     pad = npad - n
-    order_pad = jnp.concatenate([order, jnp.broadcast_to(order[-1], (pad,))])
-    s_codes = jnp.concatenate(
-        [codes[order], jnp.broadcast_to(codes[order[-1]], (pad,))])
-    s_pos = pos[:, order_pad]
-    pad_mask = jnp.arange(npad) >= n
-    s_mass = jnp.where(pad_mask, 0.0, mass[order_pad])
-    s_vel = vel[:, order_pad]
-    tree = build_octree(s_codes, s_pos, s_mass, half,
-                        max_depth=kw["max_depth"], start_level=2, n=npad,
-                        sorted_vel=s_vel)
-    n_levels = len(tree.levels)
+    n_levels = max_depth - 2 + 1
     ng = npad // gsz
-    gpos = s_pos.reshape(3, ng, gsz)
-    bbox_min = jnp.min(gpos, axis=2).T
-    bbox_max = jnp.max(gpos, axis=2).T
     budget = kw["worklist_budget"] or min(6_000_000, max(262_144, 5 * npad))
     wl_caps = _default_wl_caps(ng, n_levels, budget,
-                               c0=tree.levels[0].code.shape[0])
-    far, far_n, sls, sle, sl_n, res, wl = _traverse_global(
-        tree, bbox_min, bbox_max, ng, theta=float(kw["theta"]),
-        soft_sq=float(kw["softening"]) ** 2, skin=float(kw["skin"]),
-        gsz=gsz, window_groups=kw["window_groups"],
-        list_cap=kw["list_cap"], n_levels=n_levels, wl_caps=wl_caps)
+                               c0=level_capacity(2, npad))
+
+    @jax.jit
+    def run(pos, vel, mass):
+        half = compute_bounds(pos)
+        codes = morton_encode(pos, half, max_depth)
+        order = jnp.argsort(codes).astype(jnp.int32)
+        order_pad = jnp.concatenate(
+            [order, jnp.broadcast_to(order[-1], (pad,))])
+        s_codes = jnp.concatenate(
+            [codes[order], jnp.broadcast_to(codes[order[-1]], (pad,))])
+        s_pos = pos[:, order_pad]
+        pad_mask = jnp.arange(npad) >= n
+        s_mass = jnp.where(pad_mask, 0.0, mass[order_pad])
+        s_vel = vel[:, order_pad]
+        tree = build_octree(s_codes, s_pos, s_mass, half,
+                            max_depth=max_depth, start_level=2, n=npad,
+                            sorted_vel=s_vel)
+        gpos = s_pos.reshape(3, ng, gsz)
+        bbox_min = jnp.min(gpos, axis=2).T
+        bbox_max = jnp.max(gpos, axis=2).T
+        far, far_n, sls, sle, sl_n, res, wl = _traverse_global(
+            tree, bbox_min, bbox_max, ng, theta=float(kw["theta"]),
+            soft_sq=float(kw["softening"]) ** 2, skin=float(kw["skin"]),
+            gsz=gsz, window_groups=kw["window_groups"],
+            list_cap=kw["list_cap"], n_levels=n_levels, wl_caps=wl_caps)
+        n_cells = jnp.stack([lv.n_cells for lv in tree.levels])
+        return far_n, res, wl, n_cells, jnp.sum(s_mass)
+
+    far_n, res, wl, n_cells, mass_sum = run(pos, vel, mass)
     far_n = np.asarray(far_n)
     return {
         "n_levels": n_levels,
@@ -998,14 +695,15 @@ def build_diagnostics(pos, vel, mass, config):
         "groups_at_cap": int((far_n >= kw["list_cap"] - 1).sum()),
         "ng": ng,
         "residual_mass_frac": float(np.asarray(res)[:, 0].sum()
-                                    / max(float(np.asarray(s_mass).sum()),
-                                          1e-30)),
-        "cells_per_level": [int(lv.n_cells) for lv in tree.levels],
+                                    / max(float(mass_sum), 1e-30)),
+        "cells_per_level": np.asarray(n_cells).tolist(),
     }
 
 
 def window_bh_accel(pos, vel, mass, config, dt=0.0, use_pallas=None):
     """One-shot accelerations (fresh lists) — the testing entry point."""
+    from spatialsim_tpu.config.nbody import resolve_config
+    config = resolve_config(config, pos.shape[1])
     if use_pallas is None:
         use_pallas = getattr(config, "use_pallas_eval", True)
     lists = build_lists(pos, vel, mass, **_build_kw(config))

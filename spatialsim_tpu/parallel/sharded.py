@@ -99,6 +99,8 @@ def ring_allpairs_accel(pos, mass, mesh: Mesh, G, softening):
 
 def sharded_barnes_hut_accel(pos, mass, mesh: Mesh, config):
     """Barnes-Hut with replicated tree + device-local group traversal."""
+    from spatialsim_tpu.config.nbody import resolve_config
+    config = resolve_config(config, pos.shape[1])
     axis = BODY_AXIS
     ndev = mesh.shape[axis]
     n = pos.shape[1]
@@ -196,6 +198,8 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
     from spatialsim_tpu.ops.bh_eval_kernel import pallas_window_eval
     from spatialsim_tpu.ops.integrator import integrate
 
+    from spatialsim_tpu.config.nbody import resolve_config
+    config = resolve_config(config, n)
     axis = BODY_AXIS
     D = mesh.shape[axis]
     gsz = config.group_size
@@ -205,15 +209,6 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
     ng = npad // gsz
     ngl = ng // D
     kw = _build_kw(config)
-    if kw.get("build_mode", "global") != "global" \
-            or kw.get("supergroup", 1) > 1:
-        # The sharded eval passes an empty shared list to the kernel; a
-        # pergroup/supergroup build would silently lose all supergroup-
-        # shared far-field mass on this path.
-        raise ValueError(
-            "make_sharded_window_step requires build_mode='global' with "
-            "supergroup=1 (supergroup-shared lists are not plumbed "
-            "through the sharded eval)")
     interval = config.rebuild_interval
     skin = float(config.skin)
     drift_mode = getattr(config, "rebuild_drift_mode", "max")
