@@ -49,6 +49,9 @@ def main():
     p.add_argument("--skin", type=float, default=6.0)
     p.add_argument("--distribution", default="galaxy")
     p.add_argument("--sample", type=int, default=2048)
+    p.add_argument("--quad", action="store_true")
+    p.add_argument("--scale", type=float, default=1.0,
+                   help="quad_accept_scale (with --quad)")
     args = p.parse_args()
 
     n = args.n
@@ -57,7 +60,8 @@ def main():
         spawn_radius=500.0, distribution=args.distribution, engine="window",
         max_depth=args.depth, group_size=args.group_size,
         window_groups=args.wg, list_capacity=args.list_cap, skin=args.skin,
-        worklist_budget=args.budget)
+        worklist_budget=args.budget, use_quadrupole=args.quad,
+        quad_accept_scale=args.scale)
 
     pp, vv, mm = distributions.generate_distribution(
         args.distribution, n, cfg.spawn_radius, cfg.G, seed=0)

@@ -65,6 +65,19 @@ class NBodyConfig:
     # validated production policy.
     rebuild_drift_mode: str = "off"
     use_pallas_eval: bool = True  # fused Pallas per-step evaluation
+    # Quadrupole far field (accuracy option): far-list entries carry the
+    # traceless second moment.  Measured at 1M galaxy θ=0.8 against a
+    # direct-sum oracle (scripts/quad_scan.py): median force error 5.3x
+    # better (1.88% -> 0.36%), rms 3.7% -> 3.3%, for +24% rebuild and
+    # +20% eval cost.  The p99 tail is set by near-threshold cells where
+    # the multipole series converges slowly, so raising the acceptance
+    # theta does NOT come free (quad_accept_scale > 1 trades tail error
+    # for fewer entries; 1.0 is the calibrated default).  Off by default:
+    # the bench-parity target is monopole θ=0.8 (reference
+    # nbody/simulation.py:256-258), where speed wins.
+    use_quadrupole: bool = False
+    quad_accept_scale: float = 0.0
+    eval_far_tile: int = 512     # Pallas far-list VMEM tile length
     # Global-worklist size budget for the rebuild traversal; overflow
     # degrades entries to bounded-error monopoles/residuals.
     # 0 = auto (min(6M, max(256K, 5*npad))).

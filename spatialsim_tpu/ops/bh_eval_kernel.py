@@ -46,6 +46,34 @@ def _pair_accum(xi, yi, zi, xj, yj, zj, mj, soft_sq):
             jnp.sum(w * dz, axis=1, keepdims=True))
 
 
+def _pair_accum_quad(xi, yi, zi, xj, yj, zj, mj, q6, soft_sq):
+    """Monopole + traceless-quadrupole forces of frozen entries j onto i.
+
+    a += m·d/r³ − (Q·d)/r⁵ + (5/2)(dᵀQd)·d/r⁷ with d = source − target
+    (−∇ of Φ = −[m/r + dᵀQd/(2r⁵)]; matches
+    spatialsim_tpu.ops.bh_window._dense_accel_quad, tested equal).
+    q6 rows: qxx, qyy, qzz, qxy, qxz, qyz — each (1, S).
+    """
+    qxx, qyy, qzz, qxy, qxz, qyz = q6
+    dx = xj - xi
+    dy = yj - yi
+    dz = zj - zi
+    dist_sq = dx * dx + dy * dy + dz * dz + soft_sq
+    gate = dist_sq > soft_sq
+    inv = jax.lax.rsqrt(dist_sq)
+    inv2 = inv * inv
+    inv3 = jnp.where(gate, inv * inv2, 0.0)
+    qdx = qxx * dx + qxy * dy + qxz * dz
+    qdy = qxy * dx + qyy * dy + qyz * dz
+    qdz = qxz * dx + qyz * dy + qzz * dz
+    dqd = dx * qdx + dy * qdy + dz * qdz
+    inv5 = inv3 * inv2
+    cw = mj * inv3 + 2.5 * dqd * inv5 * inv2
+    return (jnp.sum(cw * dx - inv5 * qdx, axis=1, keepdims=True),
+            jnp.sum(cw * dy - inv5 * qdy, axis=1, keepdims=True),
+            jnp.sum(cw * dz - inv5 * qdz, axis=1, keepdims=True))
+
+
 def _eval_kernel(far_n_ref, shared_n_ref, gpos_ref, *rest, soft_sq, G, gsz,
                  far_tile, n_window, supergroup):
     window_refs = rest[:n_window]
@@ -80,6 +108,7 @@ def _eval_kernel(far_n_ref, shared_n_ref, gpos_ref, *rest, soft_sq, G, gsz,
             # Frozen-entry tiles, loop bounded by the actual entry count.
             tile = min(far_tile, ref.shape[2])
             n_tiles = (count + tile - 1) // tile
+            quad = ref.shape[1] > 4
 
             def tile_body(t, carry):
                 ax, ay, az = carry
@@ -88,8 +117,14 @@ def _eval_kernel(far_n_ref, shared_n_ref, gpos_ref, *rest, soft_sq, G, gsz,
                 fy = ref[0, 1:2, pl.ds(off, tile)]
                 fz = ref[0, 2:3, pl.ds(off, tile)]
                 fm = ref[0, 3:4, pl.ds(off, tile)]
-                dax, day, daz = _pair_accum(xi, yi, zi, fx, fy, fz, fm,
-                                            soft_sq)
+                if quad:
+                    q6 = tuple(ref[0, 4 + k:5 + k, pl.ds(off, tile)]
+                               for k in range(6))
+                    dax, day, daz = _pair_accum_quad(
+                        xi, yi, zi, fx, fy, fz, fm, q6, soft_sq)
+                else:
+                    dax, day, daz = _pair_accum(xi, yi, zi, fx, fy, fz, fm,
+                                                soft_sq)
                 return ax + dax, ay + day, az + daz
 
             return jax.lax.fori_loop(0, n_tiles, tile_body, carry)
@@ -116,9 +151,11 @@ def pallas_window_eval(s_pos, s_mass, far4, far_n, shared4, shared_n, *,
       s_pos: ``(3, npad)`` f32 sorted positions (npad multiple of group).
       s_mass: ``(npad,)`` f32 sorted masses (padding slots zero).
       far4: ``(ng, 4, L)`` f32 frozen far entries [x, y, z, mass] with the
-        COM already advanced to the current step.
+        COM already advanced to the current step — or ``(ng, 16, L)`` with
+        traceless quadrupole rows 4:10 appended (see
+        bh_window.far_eval_tensor); the row count selects the pair math.
       far_n: ``(ng,)`` int32 actual entry counts.
-      shared4: ``(nsg, 4, Ls)`` f32 supergroup-shared entries.
+      shared4: ``(nsg, 4|16, Ls)`` f32 supergroup-shared entries.
       shared_n: ``(nsg,)`` int32.
       supergroup: groups per supergroup (g -> shared row g // supergroup).
       local_slice: optional static ``(group_offset, n_groups)`` — evaluate
@@ -133,7 +170,9 @@ def pallas_window_eval(s_pos, s_mass, far4, far_n, shared4, shared_n, *,
     wg = window_groups
     npad = s_pos.shape[1]
     offset, ng = local_slice or (0, npad // gsz)
+    R = far4.shape[1]
     L = far4.shape[2]
+    Rs = shared4.shape[1]
     Ls = shared4.shape[2]
     soft_sq = float(softening) ** 2
     S = supergroup
@@ -156,9 +195,9 @@ def pallas_window_eval(s_pos, s_mass, far4, far_n, shared4, shared_n, *,
         in_specs.append(pl.BlockSpec(
             (8, gsz), (lambda g, *_, k=k: (0, g + k)),
             memory_space=pltpu.VMEM))
-    in_specs.append(pl.BlockSpec((1, 4, L), lambda g, *_: (g, 0, 0),
+    in_specs.append(pl.BlockSpec((1, R, L), lambda g, *_: (g, 0, 0),
                                  memory_space=pltpu.VMEM))
-    in_specs.append(pl.BlockSpec((1, 4, Ls), lambda g, *_: (g // S, 0, 0),
+    in_specs.append(pl.BlockSpec((1, Rs, Ls), lambda g, *_: (g // S, 0, 0),
                                  memory_space=pltpu.VMEM))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -175,15 +214,16 @@ def pallas_window_eval(s_pos, s_mass, far4, far_n, shared4, shared_n, *,
                      far_tile=far_tile, n_window=n_window, supergroup=S)
 
     interpret = jax.default_backend() != "tpu"
-    avg_pairs = gsz * (n_window * gsz + L + Ls)
+    flops_far = 40 if R > 4 else 17
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ng * gsz, 8), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=int(ng) * avg_pairs * 17,
-            bytes_accessed=ng * gsz * 8 * 4 + ng * 4 * L * 4,
-            transcendentals=int(ng) * avg_pairs),
+            flops=int(ng) * gsz * (n_window * gsz * 17
+                                   + (L + Ls) * flops_far),
+            bytes_accessed=ng * gsz * 8 * 4 + ng * R * L * 4,
+            transcendentals=int(ng) * gsz * (n_window * gsz + L + Ls)),
         interpret=interpret,
     )(far_n, shared_n, gpos_t, *([pos8_winpad] * n_window), far4, shared4)
 

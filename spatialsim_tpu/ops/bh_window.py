@@ -77,7 +77,7 @@ SLIVER_CAP = 64  # >= 4 emissions/level x levels; deterministic bound
 
 def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
                      gsz, window_groups, list_cap, n_levels, wl_caps,
-                     group_offset=0):
+                     group_offset=0, quadrupole=False):
     """Global-worklist traversal: all (group, cell) pairs of one level in
     one flat, group-major list.
 
@@ -95,13 +95,14 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
     levels = tree.levels
     theta_sq = theta * theta
     L = list_cap
+    n_cols = 13 if quadrupole else 7
     bbox_min = (bbox_min - skin).T              # (3, ng)
     bbox_max = (bbox_max + skin).T
 
     # Columnar storage throughout: (W,) and (ng*L,) flat vectors only.
     # Row-major (W, k) arrays tile as T(8,128) on TPU and pad the tiny
     # minor dimension up to 43x — both a memory and bandwidth disaster.
-    far_cols = [jnp.zeros((ng * L,), jnp.float32) for _ in range(7)]
+    far_cols = [jnp.zeros((ng * L,), jnp.float32) for _ in range(n_cols)]
     far_n = jnp.zeros((ng,), jnp.int32)
     sl_start = jnp.zeros((ng * SLIVER_CAP,), jnp.int32)
     sl_end = jnp.zeros((ng * SLIVER_CAP,), jnp.int32)
@@ -148,9 +149,18 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
         ccount = jnp.where(active, lv.count[cidx], 0)
         cstart = jnp.where(active, lv.body_start[cidx], 0)
         cend = cstart + ccount
-        # Columnar entry values: [cx, cy, cz, vx, vy, vz, mass].
-        vals7 = (ccom[0], ccom[1], ccom[2], cvel[0], cvel[1], cvel[2],
-                 cmass)
+        # Columnar entry values: [cx, cy, cz, vx, vy, vz, mass] plus, with
+        # quadrupoles, the 6 traceless components Q = 3·M2 − tr(M2)·I
+        # (rows qxx, qyy, qzz, qxy, qxz, qyz), converted here once at
+        # emission so the per-step eval never touches raw moments.
+        vals = (ccom[0], ccom[1], ccom[2], cvel[0], cvel[1], cvel[2],
+                cmass)
+        if quadrupole:
+            cm2 = lv.m2[:, cidx]                   # (6, W)
+            tr = cm2[0] + cm2[1] + cm2[2]
+            vals = vals + (3.0 * cm2[0] - tr, 3.0 * cm2[1] - tr,
+                           3.0 * cm2[2] - tr, 3.0 * cm2[3],
+                           3.0 * cm2[4], 3.0 * cm2[5])
 
         # Window bounds in GLOBAL body indices (gidx is local to this
         # shard; group_offset maps it to the global group id).
@@ -190,7 +200,7 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
             ok = mask & (local < L - 1)
             flat = jnp.where(ok, gidx * L + local, ng * L)
             far_cols = [fc.at[flat].set(v, mode="drop")
-                        for fc, v in zip(far_cols, vals7)]
+                        for fc, v in zip(far_cols, vals)]
             # Overflow folds into the mass-conserving residual.  The
             # scatters still process all W updates, so gate the whole
             # thing on overflow actually occurring (it's the rare path).
@@ -279,10 +289,13 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
             wl_g = jnp.where(live, run_g[seg], ng)
             wl_sizes.append(wl_n)
 
-    # Assemble the (ng, 8, L) eval tensor (entries on the minor/lane dim).
+    # Assemble the (ng, R, L) eval tensor (entries on the minor/lane dim);
+    # R = 8 rows monopole, 16 with quadrupoles (padded to a sublane tile).
+    n_rows = 16 if quadrupole else 8
     far = jnp.stack(
         [fc.reshape(ng, L) for fc in far_cols]
-        + [jnp.zeros((ng, L), jnp.float32)], axis=1)          # (ng, 8, L)
+        + [jnp.zeros((ng, L), jnp.float32)] * (n_rows - n_cols),
+        axis=1)                                               # (ng, R, L)
     res = jnp.stack(res_cols, axis=1)                         # (ng, 7)
     return (far, far_n, sl_start.reshape(ng, SLIVER_CAP),
             sl_end.reshape(ng, SLIVER_CAP), sl_n, res,
@@ -312,10 +325,11 @@ def _default_wl_caps(ng: int, n_levels: int, budget: int, c0: int = 64):
     jax.jit,
     static_argnames=("theta", "softening", "skin", "max_depth", "group_size",
                      "window_groups", "list_cap", "worklist_budget",
-                     "n_groups"))
+                     "n_groups", "quadrupole"))
 def build_lists(pos, vel, mass, *, theta, softening, skin=4.0, max_depth=10,
                 group_size=256, window_groups=3, list_cap=2048,
-                worklist_budget=0, group_offset=0, n_groups=None):
+                worklist_budget=0, group_offset=0, n_groups=None,
+                quadrupole=False):
     """Morton-sort + octree + global-worklist traversal -> :class:`BHLists`.
 
     The traversal visits all (group, cell) pairs of one octree level in a
@@ -348,7 +362,8 @@ def build_lists(pos, vel, mass, *, theta, softening, skin=4.0, max_depth=10,
     s_vel = vel[:, order_pad]
 
     tree = build_octree(s_codes, s_pos, s_mass, half, max_depth=max_depth,
-                        start_level=2, n=npad, sorted_vel=s_vel)
+                        start_level=2, n=npad, sorted_vel=s_vel,
+                        with_quadrupole=quadrupole)
     n_levels = len(tree.levels)
 
     ng_total = npad // gsz
@@ -369,8 +384,9 @@ def build_lists(pos, vel, mass, *, theta, softening, skin=4.0, max_depth=10,
         tree, bbox_min, bbox_max, ng, theta=float(theta),
         soft_sq=float(softening) ** 2, skin=float(skin), gsz=gsz,
         window_groups=window_groups, list_cap=list_cap,
-        n_levels=n_levels, wl_caps=wl_caps, group_offset=group_offset)
-    shared = jnp.zeros((1, 8, 128), jnp.float32)
+        n_levels=n_levels, wl_caps=wl_caps, group_offset=group_offset,
+        quadrupole=quadrupole)
+    shared = jnp.zeros((1, far.shape[1], 128), jnp.float32)
     shared_n = jnp.zeros((1,), jnp.int32)
     return _finish_lists(far, far_n, sl_start, sl_end, sl_n, res,
                          shared, shared_n, s_pos, s_vel, s_mass, order,
@@ -381,9 +397,12 @@ def _finish_lists(far, far_n, sl_start, sl_end, sl_n, res, shared, shared_n,
                   s_pos, s_vel, s_mass, order, order_pad, pos, n, list_cap):
     """Sliver moments + residual entry + BHLists assembly.
 
-    ``far``/``shared`` use the (groups, 8, entries) layout.
+    ``far``/``shared`` use the (groups, R, entries) layout — R = 8 rows
+    [com xyz, v xyz, m, 0] monopole, 16 with the traceless quadrupole in
+    rows 7:13.  Slivers and the residual stay monopole (Q rows zero):
+    both are mass-conserving fallbacks whose error is already bounded.
     """
-    ng = far.shape[0]
+    ng, n_rows = far.shape[0], far.shape[1]
 
     # Sliver moments (window-boundary fragments) from prefix sums; tiny
     # gather (ng x SLIVER_CAP x 2 x 7).
@@ -398,8 +417,8 @@ def _finish_lists(far, far_n, sl_start, sl_end, sl_n, res, shared, shared_n,
     sinv = jnp.where(sm > 0, 1.0 / jnp.maximum(sm, 1e-30), 0.0)
     svals = jnp.stack([
         seg[1] * sinv, seg[2] * sinv, seg[3] * sinv,
-        seg[4] * sinv, seg[5] * sinv, seg[6] * sinv,
-        sm, jnp.zeros_like(sm)], axis=1)                        # (ng, 8, SC)
+        seg[4] * sinv, seg[5] * sinv, seg[6] * sinv, sm]
+        + [jnp.zeros_like(sm)] * (n_rows - 7), axis=1)          # (ng, R, SC)
 
     # Append slivers to the far lists (slot list_cap-1 stays reserved for
     # the residual; sliver overflow folds into the residual too).
@@ -425,7 +444,8 @@ def _finish_lists(far, far_n, sl_start, sl_end, sl_n, res, shared, shared_n,
     inv_m = jnp.where(has_res, 1.0 / jnp.maximum(res_m, 1e-30), 0.0)
     res_entry = jnp.concatenate(
         [res[:, 1:4] * inv_m[:, None], res[:, 4:7] * inv_m[:, None],
-         res_m[:, None], jnp.zeros((ng, 1), jnp.float32)], axis=1)  # (ng, 8)
+         res_m[:, None], jnp.zeros((ng, n_rows - 7), jnp.float32)],
+        axis=1)                                                     # (ng, R)
     far = far.at[:, :, list_cap - 1].set(
         jnp.where(has_res[:, None], res_entry, far[:, :, list_cap - 1]))
     far_n = jnp.where(has_res, list_cap, far_n)
@@ -441,6 +461,25 @@ def _finish_lists(far, far_n, sl_start, sl_end, sl_n, res, shared, shared_n,
 # ---------------------------------------------------------------------------
 # Per-step dense evaluation
 # ---------------------------------------------------------------------------
+
+def far_eval_tensor(far, steps_since, dt):
+    """Frozen entries advanced to the current step, in eval-kernel layout.
+
+    ``far`` is the stored ``(ng, R, L)`` tensor.  R == 8 (monopole) maps to
+    ``(ng, 4, L)`` rows [x, y, z, m]; R == 16 (quadrupole) maps to
+    ``(ng, 16, L)`` rows [x, y, z, m, qxx, qyy, qzz, qxy, qxz, qyz, 0…] —
+    the COM advances ballistically, the quadrupole stays frozen (it is a
+    second-order moment; its drift over one rebuild interval is higher
+    order than the COM's).
+    """
+    tau = steps_since.astype(jnp.float32) * dt
+    fpos = far[:, 0:3, :] + far[:, 3:6, :] * tau
+    if far.shape[1] <= 8:
+        return jnp.concatenate([fpos, far[:, 6:7, :]], axis=1)
+    ng, _, L = far.shape
+    return jnp.concatenate(
+        [fpos, far[:, 6:13, :], jnp.zeros((ng, 6, L), jnp.float32)], axis=1)
+
 
 def _window_sources(s_pos, s_mass, ng, gsz, window_groups):
     """Window sources per group via shifted slices (no gathers).
@@ -462,6 +501,34 @@ def _window_sources(s_pos, s_mass, ng, gsz, window_groups):
     W = (2 * wg + 1) * gsz
     return (pos_shifts.transpose(1, 0, 2, 3).reshape(ng, 3, W),
             mass_shifts.reshape(ng, W))
+
+
+def _dense_accel_quad(gpos, src_pos, src_mass, src_q, G, soft_sq):
+    """Monopole + traceless-quadrupole forces, direct-difference form.
+
+    a = Σ m·d/r³ − (Q·d)/r⁵ + (5/2)(dᵀQd)·d/r⁷  with d = source − target
+    (the −∇ of Φ = −[m/r + dᵀQd/(2r⁵)]).  XLA fallback / oracle for the
+    Pallas kernel's quadrupole path; shapes ``(c, 3, gsz)`` × ``(c, 3, S)``
+    with ``src_q`` ``(c, 6, S)`` rows (qxx, qyy, qzz, qxy, qxz, qyz).
+    """
+    d = src_pos[:, :, None, :] - gpos[:, :, :, None]      # (c, 3, gsz, S)
+    dist_sq = jnp.sum(d * d, axis=1) + soft_sq            # (c, gsz, S)
+    gate = dist_sq > soft_sq
+    inv = jax.lax.rsqrt(dist_sq)
+    inv2 = inv * inv
+    inv3 = jnp.where(gate, inv * inv2, 0.0)
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    qxx, qyy, qzz, qxy, qxz, qyz = (src_q[:, i, None, :] for i in range(6))
+    qdx = qxx * dx + qxy * dy + qxz * dz
+    qdy = qxy * dx + qyy * dy + qyz * dz
+    qdz = qxz * dx + qyz * dy + qzz * dz
+    dqd = dx * qdx + dy * qdy + dz * qdz
+    inv5 = inv3 * inv2
+    cw = src_mass[:, None, :] * inv3 + 2.5 * dqd * inv5 * inv2
+    ax = jnp.sum(cw * dx - inv5 * qdx, axis=2)            # (c, gsz)
+    ay = jnp.sum(cw * dy - inv5 * qdy, axis=2)
+    az = jnp.sum(cw * dz - inv5 * qdz, axis=2)
+    return G * jnp.stack([ax, ay, az], axis=1)            # (c, 3, gsz)
 
 
 def _dense_accel(gpos, src_pos, src_mass, G, soft_sq):
@@ -489,9 +556,10 @@ def _dense_accel(gpos, src_pos, src_mass, G, soft_sq):
 
 @functools.partial(jax.jit, static_argnames=("group_size", "window_groups",
                                              "G", "softening", "chunk",
-                                             "use_pallas"))
+                                             "use_pallas", "far_tile"))
 def eval_accel(lists: BHLists, pos, mass, dt, *, G, softening,
-               group_size=256, window_groups=3, chunk=64, use_pallas=True):
+               group_size=256, window_groups=3, chunk=64, use_pallas=True,
+               far_tile=512):
     """Accelerations from the amortized lists at the current positions."""
     n = pos.shape[1]
     gsz = group_size
@@ -507,17 +575,17 @@ def eval_accel(lists: BHLists, pos, mass, dt, *, G, softening,
     nsg = lists.shared.shape[0]
     S_eff = max(1, ng // nsg)
 
+    quad = lists.far.shape[1] > 8
+
     if use_pallas:
         from spatialsim_tpu.ops.bh_eval_kernel import pallas_window_eval
-        tau_ = lists.steps_since.astype(jnp.float32) * dt
-        fpos = lists.far[:, 0:3, :] + lists.far[:, 3:6, :] * tau_
-        far4 = jnp.concatenate([fpos, lists.far[:, 6:7, :]], axis=1)
-        spos = lists.shared[:, 0:3, :] + lists.shared[:, 3:6, :] * tau_
-        shared4 = jnp.concatenate([spos, lists.shared[:, 6:7, :]], axis=1)
+        far_k = far_eval_tensor(lists.far, lists.steps_since, dt)
+        shared_k = far_eval_tensor(lists.shared, lists.steps_since, dt)
         acc_sorted = pallas_window_eval(
-            s_pos, s_mass, far4, lists.far_n, shared4, lists.shared_n,
+            s_pos, s_mass, far_k, lists.far_n, shared_k, lists.shared_n,
             G=Gf, softening=softening, group_size=gsz,
-            window_groups=window_groups, supergroup=S_eff)
+            window_groups=window_groups, supergroup=S_eff,
+            far_tile=far_tile)
         return acc_sorted[:, lists.inv_order]
 
     gpos = jnp.moveaxis(s_pos.reshape(3, ng, gsz), 1, 0)      # (ng, 3, gsz)
@@ -529,6 +597,8 @@ def eval_accel(lists: BHLists, pos, mass, dt, *, G, softening,
     far_pos = far[:, 0:3, :] + far[:, 3:6, :] * tau           # (ng, 3, L)
     far_pos_c = far_pos - center
     far_mass = far[:, 6, :]                                   # (ng, L)
+    far_q = (far[:, 7:13, :] if quad
+             else jnp.zeros((ng, 6, far.shape[2]), jnp.float32))
 
     shr = lists.shared
     shr_pos = jnp.repeat(shr[:, 0:3, :] + shr[:, 3:6, :] * tau,
@@ -541,8 +611,10 @@ def eval_accel(lists: BHLists, pos, mass, dt, *, G, softening,
     src_pos_c = src_pos - center
 
     def chunk_eval(args):
-        gp, fp, fm, sp, sm, hp, hm = args
-        return (_dense_accel(gp, fp, fm, Gf, soft_sq)
+        gp, fp, fm, fq, sp, sm, hp, hm = args
+        far_acc = (_dense_accel_quad(gp, fp, fm, fq, Gf, soft_sq) if quad
+                   else _dense_accel(gp, fp, fm, Gf, soft_sq))
+        return (far_acc
                 + _dense_accel(gp, sp, sm, Gf, soft_sq)
                 + _dense_accel(gp, hp, hm, Gf, soft_sq))
 
@@ -552,6 +624,7 @@ def eval_accel(lists: BHLists, pos, mass, dt, *, G, softening,
     parts = (gpos_c.reshape(ng // c, c, 3, gsz),
              far_pos_c.reshape(ng // c, c, 3, -1),
              far_mass.reshape(ng // c, c, -1),
+             far_q.reshape(ng // c, c, 6, -1),
              src_pos_c.reshape(ng // c, c, 3, -1),
              src_mass.reshape(ng // c, c, -1),
              shr_pos_c.reshape(ng // c, c, 3, -1),
@@ -574,12 +647,18 @@ class WindowBHState(NamedTuple):
 
 
 def _build_kw(config):
-    return dict(theta=config.theta, softening=config.softening,
+    quad = getattr(config, "use_quadrupole", False)
+    theta = config.theta
+    if quad:
+        scale = getattr(config, "quad_accept_scale", 0.0) or 1.0
+        theta = theta * scale
+    return dict(theta=theta, softening=config.softening,
                 skin=config.skin, max_depth=config.max_depth,
                 group_size=config.group_size,
                 window_groups=config.window_groups,
                 list_cap=config.list_capacity,
-                worklist_budget=getattr(config, "worklist_budget", 0))
+                worklist_budget=getattr(config, "worklist_budget", 0),
+                quadrupole=quad)
 
 
 def make_window_step(config, n: int, substeps: int = 1):
@@ -594,7 +673,8 @@ def make_window_step(config, n: int, substeps: int = 1):
     ekw = dict(G=config.G, softening=config.softening,
                group_size=config.group_size,
                window_groups=config.window_groups,
-               use_pallas=getattr(config, "use_pallas_eval", True))
+               use_pallas=getattr(config, "use_pallas_eval", True),
+               far_tile=getattr(config, "eval_far_tile", 512))
     damping = config.damping
     interval = config.rebuild_interval
     skin = config.skin
@@ -670,7 +750,8 @@ def build_diagnostics(pos, vel, mass, config):
         s_vel = vel[:, order_pad]
         tree = build_octree(s_codes, s_pos, s_mass, half,
                             max_depth=max_depth, start_level=2, n=npad,
-                            sorted_vel=s_vel)
+                            sorted_vel=s_vel,
+                            with_quadrupole=kw["quadrupole"])
         gpos = s_pos.reshape(3, ng, gsz)
         bbox_min = jnp.min(gpos, axis=2).T
         bbox_max = jnp.max(gpos, axis=2).T
@@ -678,7 +759,8 @@ def build_diagnostics(pos, vel, mass, config):
             tree, bbox_min, bbox_max, ng, theta=float(kw["theta"]),
             soft_sq=float(kw["softening"]) ** 2, skin=float(kw["skin"]),
             gsz=gsz, window_groups=kw["window_groups"],
-            list_cap=kw["list_cap"], n_levels=n_levels, wl_caps=wl_caps)
+            list_cap=kw["list_cap"], n_levels=n_levels, wl_caps=wl_caps,
+            quadrupole=kw["quadrupole"])
         n_cells = jnp.stack([lv.n_cells for lv in tree.levels])
         return far_n, res, wl, n_cells, jnp.sum(s_mass)
 

@@ -53,6 +53,11 @@ class OctreeLevel(NamedTuple):
     child_start: jax.Array  # (C,) int32 first child slot in the next level
     child_count: jax.Array  # (C,) int32 number of children (0 at max depth)
     n_cells: jax.Array      # () int32 number of occupied slots
+    # Central second mass moments Σ m·δδᵀ about the cell COM, rows
+    # (xx, yy, zz, xy, xz, yz); None unless built with_quadrupole.  Kept
+    # COM-central (all-small quantities) so f32 never cancels large
+    # world-coordinate products.
+    m2: jax.Array | None = None
 
 
 class Octree(NamedTuple):
@@ -84,9 +89,17 @@ def _scatter_min(init_val, size, seg, values):
     return jnp.full((size,), init_val, values.dtype).at[seg].min(values)
 
 
-@functools.partial(jax.jit, static_argnames=("max_depth", "start_level", "n"))
+def _outer6(d):
+    """Second-moment component rows (xx, yy, zz, xy, xz, yz) of ``d`` (3, K)."""
+    return jnp.stack([d[0] * d[0], d[1] * d[1], d[2] * d[2],
+                      d[0] * d[1], d[0] * d[2], d[1] * d[2]])
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth", "start_level", "n",
+                                             "with_quadrupole"))
 def build_octree(sorted_codes, sorted_pos, sorted_mass, half, *,
-                 max_depth, start_level=2, n=None, sorted_vel=None):
+                 max_depth, start_level=2, n=None, sorted_vel=None,
+                 with_quadrupole=False):
     """Build all levels from Morton-sorted bodies.
 
     Args:
@@ -120,11 +133,19 @@ def build_octree(sorted_codes, sorted_pos, sorted_mass, half, *,
     body_start = _scatter_min(
         n, cap, seg, jnp.arange(n, dtype=jnp.int32))
     inv_m = 1.0 / jnp.maximum(mass, 1e-30)[None, :]
+    com = wpos * inv_m
+    m2 = None
+    if with_quadrupole:
+        # Body offsets from their own cell's COM are cell-sized (small),
+        # so the products below carry full f32 precision — computing raw
+        # moments about the origin instead would cancel ~(s/|x|)² of it.
+        d = sorted_pos - com[:, seg]
+        m2 = _segment((_outer6(d) * sorted_mass[None, :]).T, seg, cap).T
     deepest = OctreeLevel(
-        code=code, mass=mass, com=wpos * inv_m, vel=wvel * inv_m,
+        code=code, mass=mass, com=com, vel=wvel * inv_m,
         count=count, body_start=body_start,
         child_start=jnp.zeros((cap,), jnp.int32),
-        child_count=jnp.zeros((cap,), jnp.int32), n_cells=n_cells)
+        child_count=jnp.zeros((cap,), jnp.int32), n_cells=n_cells, m2=m2)
 
     # --- pool upward ---
     levels = [deepest]
@@ -151,10 +172,18 @@ def build_octree(sorted_codes, sorted_pos, sorted_mass, half, *,
                               jnp.arange(ccap, dtype=jnp.int32))
         ccount = _segment(jnp.ones_like(pseg), pseg, pcap)
         pinv_m = 1.0 / jnp.maximum(pmass, 1e-30)[None, :]
+        pcom = pwpos * pinv_m
+        pm2 = None
+        if with_quadrupole:
+            # Parallel-axis merge: M2_p = Σ_c [M2_c + m_c·outer(com_c−com_p)]
+            # — every operand is COM-relative (small), so f32-safe.
+            d = child.com - pcom[:, jnp.clip(pseg, 0, pcap - 1)]
+            contrib = child.m2 + _outer6(d) * child.mass[None, :]
+            pm2 = _segment(contrib.T, pseg, pcap).T
         parent = OctreeLevel(
-            code=pcode, mass=pmass, com=pwpos * pinv_m, vel=pwvel * pinv_m,
+            code=pcode, mass=pmass, com=pcom, vel=pwvel * pinv_m,
             count=pcount, body_start=pbody,
-            child_start=cstart, child_count=ccount, n_cells=pn)
+            child_start=cstart, child_count=ccount, n_cells=pn, m2=pm2)
         levels.append(parent)
         child = parent
 

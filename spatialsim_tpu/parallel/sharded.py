@@ -194,7 +194,7 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
     a correctly-sharded :class:`WindowBHState`.
     """
     from spatialsim_tpu.ops.bh_window import (
-        WindowBHState, _build_kw, build_lists)
+        WindowBHState, _build_kw, build_lists, far_eval_tensor)
     from spatialsim_tpu.ops.bh_eval_kernel import pallas_window_eval
     from spatialsim_tpu.ops.integrator import integrate
 
@@ -249,10 +249,8 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
             pad_mask = jnp.arange(npad) >= n
             s_mass = jnp.where(pad_mask, 0.0, mass_f[order2])
 
-            tau = ss2.astype(jnp.float32) * dt
-            fpos = far2[:, 0:3, :] + far2[:, 3:6, :] * tau
-            far4 = jnp.concatenate([fpos, far2[:, 6:7, :]], axis=1)
-            shared4 = jnp.zeros((1, 4, 128), jnp.float32)
+            far4 = far_eval_tensor(far2, ss2, dt)
+            shared4 = jnp.zeros((1, far4.shape[1], 128), jnp.float32)
             shared_n = jnp.zeros((1,), jnp.int32)
 
             # Pallas needs a static group offset: one branch per device.

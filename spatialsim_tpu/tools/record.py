@@ -81,20 +81,41 @@ def format_time(seconds: float) -> str:
     return f"{seconds // 3600}h{(seconds % 3600) // 60:02d}m"
 
 
+def _bar(frac: float, width: int = 40) -> str:
+    filled = int(frac * width)
+    return "█" * filled + "░" * (width - filled)
+
+
 def print_progress(frame: int, total: int, frame_time: float, elapsed: float,
-                   eta: float, compressed: int, first: bool) -> None:
-    width = 40
+                   eta: float, comp_stats: dict, first: bool) -> None:
+    """Nested render + compression bars (ANSI cursor reuse).
+
+    Mirrors the reference recorder's two-bar display with a compression
+    ETA derived from its rolling timing ring
+    (``/root/reference/tools/record.py:598-677``): the second bar tracks
+    the background compressor through the frames rendered so far, ETA =
+    backlog x average per-frame pack time.
+    """
     frac = (frame + 1) / total
-    bar = "█" * int(frac * width) + "░" * (width - int(frac * width))
     render = (f"Render:   {frac * 100:5.1f}% | frame {frame + 1:5d}/{total}"
               f" | {frame_time * 1000:6.1f} ms/frame"
               f" | elapsed {format_time(elapsed):>6s} | ETA "
               f"{format_time(eta):>6s}")
-    comp = (f"Compress: {compressed:5d}/{total} packed"
-            if compressed else "Compress: waiting for first batch...")
+    done = comp_stats["compressed"]
+    if done:
+        backlog = max(0, (frame + 1) - done)
+        comp_eta = backlog * comp_stats["avg_time"]
+        comp = (f"Compress: {done / total * 100:5.1f}% | frame {done:5d}"
+                f"/{total} | {comp_stats['avg_time'] * 1000:6.1f} ms/frame"
+                f" | backlog {backlog:5d} | ETA {format_time(comp_eta):>6s}")
+        if comp_stats.get("failures"):
+            comp += f" | {comp_stats['failures']} kept raw"
+    else:
+        comp = "Compress: waiting for first batch..."
     if not first:
-        sys.stdout.write("\033[3A")
-    sys.stdout.write(f"\033[K[{bar}]\n\033[K{render}\n\033[K{comp}\n")
+        sys.stdout.write("\033[4A")
+    sys.stdout.write(f"\033[K[{_bar(frac)}]\n\033[K{render}\n"
+                     f"\033[K[{_bar(done / total)}]\n\033[K{comp}\n")
     sys.stdout.flush()
 
 
@@ -194,7 +215,7 @@ def record(config: dict, resume: bool = False) -> None:
             print_progress(frame, total_frames, frame_times[-1],
                            time.time() - start_time,
                            avg * (total_frames - frame - 1),
-                           compressor.get_compressed_count(),
+                           compressor.stats(),
                            first=(frame == start_frame))
         flush_pending()
         # Final checkpoint so --extend resumes instantly (the reference

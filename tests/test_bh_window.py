@@ -174,3 +174,31 @@ def test_model_uses_window_engine():
                                       sim.get_masses(), config=cfg)
     assert sim2.engine == "window"
     sim2.update(0.01)
+
+
+def test_list_saturation_degrades_boundedly():
+    # EXTREME-scale proxy (VERDICT weak #7): a Plummer core with a
+    # list_capacity below its demand, saturating ~15% of groups — the
+    # same regime as the real 10M cluster (3.4% of groups at cap 8192,
+    # scripts/quad_scan.py).  Folded cells become a mass-conserving
+    # residual monopole; the error must stay at the theta level.  (At
+    # >30% saturation the single residual is too coarse — measured 10x
+    # median blowup — which is why resolve_config schedules capacity up
+    # with N rather than relying on the fold.)
+    from spatialsim_tpu.ops.bh_window import build_diagnostics
+    n = 8192
+    pos, vel, mass = _bodies(n, "cluster", seed=7)
+    exact = allpairs_accel_reference(pos, mass, 0.1, 2.0)
+    roomy = _cfg(group_size=64, list_capacity=4096)
+    tight = _cfg(group_size=64, list_capacity=1536)
+
+    diag = build_diagnostics(pos, vel, mass, tight)
+    assert diag["groups_at_cap"] >= 0.05 * diag["ng"], \
+        "proxy must actually saturate"
+    assert diag["residual_mass_frac"] > 0
+
+    err_roomy = _err_over_rms(window_bh_accel(pos, vel, mass, roomy), exact)
+    err_tight = _err_over_rms(window_bh_accel(pos, vel, mass, tight), exact)
+    assert np.median(err_tight) < max(2 * np.median(err_roomy), 0.005)
+    assert (np.percentile(err_tight, 99)
+            < 1.5 * np.percentile(err_roomy, 99))
