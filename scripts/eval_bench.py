@@ -23,8 +23,20 @@ from spatialsim_tpu.ops.bh_window import init_window_state, make_window_step
 SUB = 16
 
 
+VARIANTS = {
+    "tile512_wg2": {},
+    "tile256_wg2": {"eval_far_tile": 256},
+    "tile128_wg2": {"eval_far_tile": 128},
+    "tile256_wg1": {"eval_far_tile": 256, "window_groups": 1},
+    "tile256_quad": {"eval_far_tile": 256, "use_quadrupole": True,
+                     "quad_accept_scale": 1.0},
+    "xla_fallback": {"use_pallas_eval": False},
+}
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    only = sys.argv[2] if len(sys.argv) > 2 else None
     base = NBodyConfig(
         num_bodies=n, theta=0.8, G=0.1, softening=2.0, spawn_radius=500.0,
         distribution="galaxy", engine="window", max_depth=8, group_size=256,
@@ -37,16 +49,12 @@ def main():
     vel = jnp.asarray(vv.T, jnp.float32)
     mass = jnp.asarray(mm, jnp.float32)
 
-    variants = [
-        ("tile512_wg2", {}),
-        ("tile256_wg2", {"eval_far_tile": 256}),
-        ("tile128_wg2", {"eval_far_tile": 128}),
-        ("tile256_wg1", {"eval_far_tile": 256, "window_groups": 1}),
-        ("tile256_quad", {"eval_far_tile": 256, "use_quadrupole": True,
-                          "quad_accept_scale": 1.0}),
-        ("xla_fallback", {"use_pallas_eval": False}),
-    ]
-    for tag, over in variants:
+    # One variant per process: consecutive variants in one process leave
+    # the previous state + executables resident and the next build dies
+    # with an async InvalidArgument (HBM pressure on the shared chip).
+    items = ([(only, VARIANTS[only])] if only
+             else list(VARIANTS.items())[:1])
+    for tag, over in items:
         cfg = base.replace(**over)
         st = init_window_state(pos, vel, mass, cfg)
         step = make_window_step(cfg, n, substeps=SUB)

@@ -153,6 +153,28 @@ class NBodySimulation:
         self._colors = jax.jit(functools.partial(
             colors_by_velocity, max_speed=self.config.max_speed_color))
         self._color_cache = None
+        if self.engine == "window":
+            # The window state lives Morton-sorted (gather-free stepping);
+            # one jitted gather maps back to original body order for the
+            # host-facing getters and frame capture.
+            self._unsort = jax.jit(lambda arr, inv: arr[:, inv])
+        else:
+            self._unsort = None
+
+    def _original(self, arr):
+        """Device array mapped to original body order (axis 1 = bodies)."""
+        if self._unsort is not None:
+            return self._unsort(arr, self.state.lists.inv_order)
+        return arr
+
+    def device_frame(self):
+        """(pos, vel) device arrays, original body order — capture path.
+
+        Stays on device so the recorder can overlap the host transfer
+        with the next frame's compute.
+        """
+        return (self._original(self.state.pos),
+                self._original(self.state.vel))
 
     def update(self, dt: float):
         """Advance one frame (dt capped at max_dt per the reference's
@@ -168,15 +190,18 @@ class NBodySimulation:
 
     # --- host-facing getters (reference gpu_backend.py:394-409) ---
     def get_positions(self) -> np.ndarray:
-        return np.asarray(self.state.pos).T
+        return np.asarray(self._original(self.state.pos)).T
 
     def get_velocities(self) -> np.ndarray:
-        return np.asarray(self.state.vel).T
+        return np.asarray(self._original(self.state.vel)).T
 
     def get_colors(self) -> np.ndarray:
         if self._color_cache is None:
-            self._color_cache = np.asarray(self._colors(self.state.vel)).T
+            self._color_cache = np.asarray(
+                self._colors(self._original(self.state.vel))).T
         return self._color_cache
 
     def get_masses(self) -> np.ndarray:
+        if self._unsort is not None:
+            return np.asarray(self.state.mass[self.state.lists.inv_order])
         return np.asarray(self.state.mass)

@@ -554,23 +554,21 @@ def _dense_accel(gpos, src_pos, src_mass, G, soft_sq):
     return wp.transpose(0, 2, 1) - gpos * wsum[:, None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("group_size", "window_groups",
-                                             "G", "softening", "chunk",
-                                             "use_pallas", "far_tile"))
-def eval_accel(lists: BHLists, pos, mass, dt, *, G, softening,
-               group_size=256, window_groups=3, chunk=64, use_pallas=True,
-               far_tile=512):
-    """Accelerations from the amortized lists at the current positions."""
-    n = pos.shape[1]
+def _eval_sorted_padded(lists: BHLists, s_pos, s_mass, dt, *, G, softening,
+                        group_size, window_groups, chunk, use_pallas,
+                        far_tile):
+    """Core evaluation on already-sorted padded ``(3, npad)`` inputs.
+
+    Returns accelerations in SORTED slot order.  Wrapped by
+    :func:`eval_accel` (original-order API, pays permutation gathers) and
+    :func:`eval_accel_sorted` (the production stepper's path — the state
+    lives sorted between rebuilds, so no gathers at all).
+    """
     gsz = group_size
     npad = lists.order.shape[0]
     ng = npad // gsz
     soft_sq = float(softening) ** 2
     Gf = float(G)
-
-    s_pos = pos[:, lists.order]
-    pad_mask = jnp.arange(npad) >= n
-    s_mass = jnp.where(pad_mask, 0.0, mass[lists.order])
 
     nsg = lists.shared.shape[0]
     S_eff = max(1, ng // nsg)
@@ -581,12 +579,11 @@ def eval_accel(lists: BHLists, pos, mass, dt, *, G, softening,
         from spatialsim_tpu.ops.bh_eval_kernel import pallas_window_eval
         far_k = far_eval_tensor(lists.far, lists.steps_since, dt)
         shared_k = far_eval_tensor(lists.shared, lists.steps_since, dt)
-        acc_sorted = pallas_window_eval(
+        return pallas_window_eval(
             s_pos, s_mass, far_k, lists.far_n, shared_k, lists.shared_n,
             G=Gf, softening=softening, group_size=gsz,
             window_groups=window_groups, supergroup=S_eff,
             far_tile=far_tile)
-        return acc_sorted[:, lists.inv_order]
 
     gpos = jnp.moveaxis(s_pos.reshape(3, ng, gsz), 1, 0)      # (ng, 3, gsz)
     center = jnp.mean(gpos, axis=2, keepdims=True)            # (ng, 3, 1)
@@ -631,8 +628,59 @@ def eval_accel(lists: BHLists, pos, mass, dt, *, G, softening,
              shr_mass.reshape(ng // c, c, -1))
     acc = jax.lax.map(chunk_eval, parts).reshape(ng, 3, gsz)
 
-    acc_sorted = jnp.moveaxis(acc, 0, 1).reshape(3, npad)
+    return jnp.moveaxis(acc, 0, 1).reshape(3, npad)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "window_groups",
+                                             "G", "softening", "chunk",
+                                             "use_pallas", "far_tile"))
+def eval_accel(lists: BHLists, pos, mass, dt, *, G, softening,
+               group_size=256, window_groups=3, chunk=64, use_pallas=True,
+               far_tile=512):
+    """Accelerations at ORIGINAL-order positions (testing/one-shot API).
+
+    Pays two permutation gathers (sort in, unsort out) — the production
+    stepper keeps its state sorted and uses :func:`eval_accel_sorted`
+    instead (7M gathers/step ≈ 40 ms at 1M bodies, measured).
+    """
+    n = pos.shape[1]
+    npad = lists.order.shape[0]
+    s_pos = pos[:, lists.order]
+    pad_mask = jnp.arange(npad) >= n
+    s_mass = jnp.where(pad_mask, 0.0, mass[lists.order])
+    acc_sorted = _eval_sorted_padded(
+        lists, s_pos, s_mass, dt, G=G, softening=softening,
+        group_size=group_size, window_groups=window_groups, chunk=chunk,
+        use_pallas=use_pallas, far_tile=far_tile)
     return acc_sorted[:, lists.inv_order]
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "window_groups",
+                                             "G", "softening", "chunk",
+                                             "use_pallas", "far_tile"))
+def eval_accel_sorted(lists: BHLists, pos_s, mass_s, dt, *, G, softening,
+                      group_size=256, window_groups=3, chunk=64,
+                      use_pallas=True, far_tile=512):
+    """Accelerations for SORTED ``(3, n)`` state — gather-free hot path.
+
+    Pads the group tail by repeating the last body (mass 0) instead of
+    gathering through ``lists.order``; returns sorted-order accelerations.
+    """
+    n = pos_s.shape[1]
+    npad = lists.order.shape[0]
+    pad = npad - n
+    if pad:
+        s_pos = jnp.concatenate(
+            [pos_s, jnp.broadcast_to(pos_s[:, -1:], (3, pad))], axis=1)
+        s_mass = jnp.concatenate(
+            [mass_s, jnp.zeros((pad,), mass_s.dtype)])
+    else:
+        s_pos, s_mass = pos_s, mass_s
+    acc_sorted = _eval_sorted_padded(
+        lists, s_pos, s_mass, dt, G=G, softening=softening,
+        group_size=group_size, window_groups=window_groups, chunk=chunk,
+        use_pallas=use_pallas, far_tile=far_tile)
+    return acc_sorted[:, :n]
 
 
 # ---------------------------------------------------------------------------
@@ -640,10 +688,25 @@ def eval_accel(lists: BHLists, pos, mass, dt, *, G, softening,
 # ---------------------------------------------------------------------------
 
 class WindowBHState(NamedTuple):
-    pos: jax.Array
-    vel: jax.Array
-    mass: jax.Array
+    """Production-engine state.
+
+    ``pos``/``vel``/``mass`` are stored in MORTON-SORTED order (the order
+    of the current lists) — the hot step is then entirely gather-free;
+    the sort permutation is only applied at rebuilds, and host-facing
+    reads map back through ``lists.inv_order`` (see
+    :func:`state_original_order`).
+    """
+
+    pos: jax.Array      # (3, n) f32, sorted order
+    vel: jax.Array      # (3, n) f32, sorted order
+    mass: jax.Array     # (n,) f32, sorted order
     lists: BHLists
+
+
+def state_original_order(state: WindowBHState):
+    """(pos, vel, mass) views in ORIGINAL body order (host-facing)."""
+    inv = state.lists.inv_order
+    return state.pos[:, inv], state.vel[:, inv], state.mass[inv]
 
 
 def _build_kw(config):
@@ -686,14 +749,21 @@ def make_window_step(config, n: int, substeps: int = 1):
         if drift_mode == "max":
             drift = jnp.max(jnp.abs(state.pos - lists.ref_pos))
             need = need | (drift > skin * 0.5)
-        lists = jax.lax.cond(
-            need,
-            lambda: build_lists(state.pos, state.vel, state.mass, **kw),
-            lambda: lists)
-        acc = eval_accel(lists, state.pos, state.mass, dt, **ekw)
-        pos, vel = integrate(state.pos, state.vel, acc, dt, damping)
+
+        def do_rebuild(args):
+            pos, vel, mass, lists = args
+            # Re-sort the (nearly sorted) state and compose the
+            # slot -> original-body mapping across builds.
+            return _resort_state(pos, vel, mass, lists.order,
+                                 lists.inv_order, kw)
+
+        pos, vel, mass, lists = jax.lax.cond(
+            need, do_rebuild, lambda a: a,
+            (state.pos, state.vel, state.mass, lists))
+        acc = eval_accel_sorted(lists, pos, mass, dt, **ekw)
+        pos, vel = integrate(pos, vel, acc, dt, damping)
         lists = lists._replace(steps_since=lists.steps_since + 1)
-        return WindowBHState(pos, vel, state.mass, lists)
+        return WindowBHState(pos, vel, mass, lists)
 
     def step(state, dt):
         def body(s, _):
@@ -704,11 +774,45 @@ def make_window_step(config, n: int, substeps: int = 1):
     return jax.jit(step, donate_argnums=(0,))
 
 
+def _resort_state(pos, vel, mass, prev_order, prev_inv, kw):
+    """Rebuild lists from a sorted-layout state and re-sort it.
+
+    ``prev_order``: (npad,) current slot -> ORIGINAL body id;
+    ``prev_inv``: (n,) original id -> current slot.  build_lists returns
+    a permutation relative to its INPUT layout; composing through the
+    previous mapping keeps ``order``/``inv_order`` original-body-based so
+    host-facing reads and frame capture stay stable across rebuilds.
+    """
+    n = pos.shape[1]
+    nl = build_lists(pos, vel, mass, **kw)
+    o = nl.order                       # (npad,) new slot -> previous slot
+    o_real = o[:n]                     # true permutation of [0, n)
+    pos2 = pos[:, o_real]
+    vel2 = vel[:, o_real]
+    mass2 = mass[o_real]
+    to_orig = prev_order[o]            # new slot -> original body id
+    o_inv = jnp.zeros((n,), jnp.int32).at[o_real].set(
+        jnp.arange(n, dtype=jnp.int32))
+    inv_new = o_inv[prev_inv]          # original id -> new slot
+    nl = nl._replace(order=to_orig, inv_order=inv_new, ref_pos=pos2)
+    return pos2, vel2, mass2, nl
+
+
 def init_window_state(pos, vel, mass, config) -> WindowBHState:
+    """Build lists from ORIGINAL-order inputs and return the sorted state."""
     from spatialsim_tpu.config.nbody import resolve_config
     config = resolve_config(config, pos.shape[1])
+    n = pos.shape[1]
     lists = build_lists(pos, vel, mass, **_build_kw(config))
-    return WindowBHState(pos, vel, mass, lists)
+    o_real = lists.order[:n]
+    pos_s = pos[:, o_real]
+    vel_s = vel[:, o_real]
+    mass_s = mass[o_real]
+    # ref_pos must be a distinct buffer: the step donates the whole state
+    # pytree, and donating one buffer twice (pos aliasing ref_pos) is a
+    # runtime error.
+    lists = lists._replace(ref_pos=jnp.copy(pos_s))
+    return WindowBHState(pos_s, vel_s, mass_s, lists)
 
 
 def build_diagnostics(pos, vel, mass, config):

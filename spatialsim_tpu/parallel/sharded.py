@@ -179,19 +179,27 @@ def sharded_barnes_hut_accel(pos, mass, mesh: Mesh, config):
 def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
     """Sharded production engine: groups (and their lists) split by device.
 
-    Layout per device d of D:
-      * bodies sharded ``(3, N/D)``; the sort permutation and octree are
-        recomputed identically on every device at rebuild (deterministic
-        and ~2% of rebuild cost) while the traversal — the dominant cost —
-        runs only over this device's group range (``group_offset`` into
+    Layout per device d of D (state Morton-SORTED, like the single-chip
+    engine — device d owns the contiguous sorted slot range
+    ``[d·n/D, (d+1)·n/D)``, so shards are spatially coherent and the hot
+    step is gather-free):
+
+      * the sort permutation and octree are recomputed identically on
+        every device at rebuild (deterministic, ~10% of rebuild cost)
+        while the traversal — the dominant cost — runs only over this
+        device's group range (``group_offset`` into
         :func:`spatialsim_tpu.ops.bh_window.build_lists`);
       * interaction lists shard along the group axis;
-      * per step: ``all_gather`` positions (Morton windows cross shard
-        boundaries), evaluate the local group range with the fused Pallas
-        kernel, ``all_gather`` sorted accelerations, pick up own bodies.
+      * per substep: one ``all_gather`` of the sorted state (Morton
+        windows cross shard boundaries), fused Pallas eval of the local
+        group range — whose output IS this device's shard, so no second
+        collective and no permutation gathers;
+      * at rebuild: the state re-sorts and the slot -> original-body
+        mapping composes, exactly as in the single-chip stepper.
 
-    Returns ``(jitted_step, init_fn)``; ``init_fn(pos, vel, mass)`` places
-    a correctly-sharded :class:`WindowBHState`.
+    Returns ``(jitted_step, init_fn)``; ``init_fn(pos, vel, mass)``
+    (original body order) places a correctly-sharded
+    :class:`WindowBHState`.
     """
     from spatialsim_tpu.ops.bh_window import (
         WindowBHState, _build_kw, build_lists, far_eval_tensor)
@@ -208,6 +216,7 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
     npad = n
     ng = npad // gsz
     ngl = ng // D
+    nlb = n // D
     kw = _build_kw(config)
     interval = config.rebuild_interval
     skin = float(config.skin)
@@ -221,18 +230,36 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
         dev = jax.lax.axis_index(axis)
 
         def substep(carry, _):
-            (pos_l, vel_l, order, inv_order, far_l, far_n_l, ref_l,
-             ss) = carry
+            (pos_l, vel_l, mass_l, order, inv_order, far_l, far_n_l,
+             ref_l, ss) = carry
             pos_f = jax.lax.all_gather(pos_l, axis, axis=1, tiled=True)
             vel_f = jax.lax.all_gather(vel_l, axis, axis=1, tiled=True)
             mass_f = jax.lax.all_gather(mass_l, axis, tiled=True)
 
             def do_rebuild(args):
-                lists = build_lists(pos_f, vel_f, mass_f,
-                                    group_offset=dev * ngl, n_groups=ngl,
-                                    **kw)
-                return (lists.order, lists.inv_order, lists.far,
-                        lists.far_n, pos_l, jnp.int32(0))
+                nl = build_lists(pos_f, vel_f, mass_f,
+                                 group_offset=dev * ngl, n_groups=ngl,
+                                 **kw)
+                o = nl.order                  # new slot -> previous slot
+                o_real = o[:n]
+                to_orig = order[o]
+                o_inv = jnp.zeros((n,), jnp.int32).at[o_real].set(
+                    jnp.arange(n, dtype=jnp.int32))
+                inv_new = o_inv[inv_order]
+                my = jax.lax.dynamic_slice_in_dim(o_real, dev * nlb, nlb)
+                pos_l2 = pos_f[:, my]
+                vel_l2 = vel_f[:, my]
+                mass_l2 = mass_f[my]
+                # Full re-sorted arrays for this substep's eval (rebuild
+                # steps only; cheaper than a second all_gather per step).
+                full_pos = pos_f[:, o_real]
+                full_mass = mass_f[o_real]
+                return (pos_l2, vel_l2, mass_l2, to_orig, inv_new,
+                        nl.far, nl.far_n, pos_l2, jnp.int32(0),
+                        full_pos, full_mass)
+
+            def keep(args):
+                return args + (pos_f, mass_f)
 
             need = ss >= interval
             if drift_mode == "max":
@@ -241,19 +268,19 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
                 drift = jax.lax.pmax(
                     jnp.max(jnp.abs(pos_l - ref_l)), axis)
                 need = need | (drift > skin * 0.5)
-            order2, inv2, far2, farn2, ref2, ss2 = jax.lax.cond(
-                need, do_rebuild, lambda a: a,
-                (order, inv_order, far_l, far_n_l, ref_l, ss))
-
-            s_pos = pos_f[:, order2]
-            pad_mask = jnp.arange(npad) >= n
-            s_mass = jnp.where(pad_mask, 0.0, mass_f[order2])
+            (pos_l2, vel_l2, mass_l2, order2, inv2, far2, farn2, ref2,
+             ss2, s_pos, s_mass) = jax.lax.cond(
+                need, do_rebuild, keep,
+                (pos_l, vel_l, mass_l, order, inv_order, far_l, far_n_l,
+                 ref_l, ss))
 
             far4 = far_eval_tensor(far2, ss2, dt)
             shared4 = jnp.zeros((1, far4.shape[1], 128), jnp.float32)
             shared_n = jnp.zeros((1,), jnp.int32)
 
             # Pallas needs a static group offset: one branch per device.
+            # The local slice's output is exactly this device's sorted
+            # shard — integrate directly, no collective needed.
             acc_l = jax.lax.switch(dev, [
                 (lambda d=d: pallas_window_eval(
                     s_pos, s_mass, far4, farn2, shared4, shared_n,
@@ -262,16 +289,12 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
                     local_slice=(d * ngl, ngl)))
                 for d in range(D)])
 
-            acc_f = jax.lax.all_gather(acc_l, axis, axis=1, tiled=True)
-            nl = n // D
-            my = jax.lax.dynamic_slice_in_dim(inv2, dev * nl, nl)
-            acc_mine = acc_f[:, my]
-            pos2, vel2 = integrate(pos_l, vel_l, acc_mine, dt, damping)
-            return (pos2, vel2, order2, inv2, far2, farn2, ref2,
+            pos3, vel3 = integrate(pos_l2, vel_l2, acc_l, dt, damping)
+            return (pos3, vel3, mass_l2, order2, inv2, far2, farn2, ref2,
                     ss2 + 1), None
 
-        init = (pos_l, vel_l, order, inv_order, far_l, far_n_l, ref_l,
-                steps_since)
+        init = (pos_l, vel_l, mass_l, order, inv_order, far_l, far_n_l,
+                ref_l, steps_since)
         out, _ = jax.lax.scan(substep, init, None, length=substeps)
         return out
 
@@ -280,7 +303,8 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
     rep = P()
     in_specs = (sh2, sh2, sh1, rep, rep, P(axis, None, None), sh1, sh2,
                 rep, rep)
-    out_specs = (sh2, sh2, rep, rep, P(axis, None, None), sh1, sh2, rep)
+    out_specs = (sh2, sh2, sh1, rep, rep, P(axis, None, None), sh1, sh2,
+                 rep)
     try:
         smapped = shard_map(step_local, mesh=mesh, in_specs=in_specs,
                             out_specs=out_specs, check_rep=False)
@@ -290,26 +314,30 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
 
     def step(state: WindowBHState, dt):
         lists = state.lists
-        (pos, vel, order, inv_order, far, far_n, ref, ss) = smapped(
+        (pos, vel, mass, order, inv_order, far, far_n, ref, ss) = smapped(
             state.pos, state.vel, state.mass, lists.order,
             lists.inv_order, lists.far, lists.far_n, lists.ref_pos,
             lists.steps_since, dt)
         new_lists = lists._replace(order=order, inv_order=inv_order,
                                    far=far, far_n=far_n, ref_pos=ref,
                                    steps_since=ss)
-        return WindowBHState(pos, vel, state.mass, new_lists)
+        return WindowBHState(pos, vel, mass, new_lists)
 
     def init_fn(pos, vel, mass):
         lists = build_lists(pos, vel, mass, **kw)
+        o_real = lists.order[:n]
+        pos_s = pos[:, o_real]
+        vel_s = vel[:, o_real]
+        mass_s = mass[o_real]
         place = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
         lists = lists._replace(
             far=place(lists.far, P(BODY_AXIS, None, None)),
             far_n=place(lists.far_n, sh1),
-            ref_pos=place(lists.ref_pos, sh2),
+            ref_pos=place(jnp.copy(pos_s), sh2),
             order=place(lists.order, rep),
             inv_order=place(lists.inv_order, rep))
-        return WindowBHState(place(pos, sh2), place(vel, sh2),
-                             place(mass, sh1), lists)
+        return WindowBHState(place(pos_s, sh2), place(vel_s, sh2),
+                             place(mass_s, sh1), lists)
 
     return jax.jit(step, donate_argnums=(0,)), init_fn
 

@@ -194,9 +194,12 @@ def record(config: dict, resume: bool = False) -> None:
         for frame in range(start_frame, total_frames):
             t0 = time.time()
             sim.step_raw(dt_sub)
-            # Device-side capture prep; transfer overlaps the next step.
-            pos_dev = sim.state.pos.T
-            col_dev = color_fn(sim.state.vel)
+            # Device-side capture prep (original body order — the window
+            # engine's state lives Morton-sorted internally); transfer
+            # overlaps the next step.
+            pos_o, vel_o = sim.device_frame()
+            pos_dev = pos_o.T
+            col_dev = color_fn(vel_o)
             try:
                 pos_dev.copy_to_host_async()
                 col_dev.copy_to_host_async()

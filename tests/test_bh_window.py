@@ -10,7 +10,7 @@ from spatialsim_tpu.models.nbody import NBodyState, make_step_fn, resolve_engine
 from spatialsim_tpu.ops.allpairs import allpairs_accel_reference
 from spatialsim_tpu.ops.bh_window import (
     WindowBHState, build_lists, init_window_state, make_window_step,
-    window_bh_accel, _build_kw)
+    state_original_order, window_bh_accel, _build_kw)
 from spatialsim_tpu import distributions
 
 
@@ -113,8 +113,9 @@ def test_window_trajectory_matches_exact_engine():
         wstate = wstep(wstate, dt)
         estate = estep(estate, dt)
     # Same physics up to the two engines' (both θ=0.8-level) approximation.
+    wpos, _, _ = state_original_order(wstate)
     scale = float(jnp.std(estate.pos))
-    diff = float(jnp.max(jnp.abs(wstate.pos - estate.pos)))
+    diff = float(jnp.max(jnp.abs(wpos - estate.pos)))
     assert diff < 0.05 * scale
 
 
@@ -133,8 +134,9 @@ def test_interval_only_staleness_stays_theta_level():
     for _ in range(40):
         wstate = wstep(wstate, dt)
         estate = estep(estate, dt)
+    wpos, _, _ = state_original_order(wstate)
     scale = float(jnp.std(estate.pos))
-    diff = float(jnp.max(jnp.abs(wstate.pos - estate.pos)))
+    diff = float(jnp.max(jnp.abs(wpos - estate.pos)))
     assert diff < 0.08 * scale
 
 
@@ -202,3 +204,23 @@ def test_list_saturation_degrades_boundedly():
     assert np.median(err_tight) < max(2 * np.median(err_roomy), 0.005)
     assert (np.percentile(err_tight, 99)
             < 1.5 * np.percentile(err_roomy, 99))
+
+
+def test_sorted_state_preserves_identity_across_rebuilds():
+    # The state lives Morton-sorted and re-sorts at every rebuild; the
+    # composed slot -> original-body mapping must stay exact.  With dt=0
+    # nothing moves, so after several rebuilds the original-order view
+    # must be bit-identical to the inputs (masses prove the permutation,
+    # positions prove the gathers).
+    n = 2048
+    pos, vel, mass = _bodies(n, seed=11)
+    mass = mass + jnp.arange(n, dtype=jnp.float32) * 1e-4   # unique tags
+    cfg = _cfg(rebuild_interval=2, group_size=64)
+    step = make_window_step(cfg, n, substeps=1)
+    st = init_window_state(pos, vel, mass, cfg)
+    for _ in range(5):                      # crosses two rebuilds
+        st = step(st, jnp.float32(0.0))
+    opos, ovel, omass = state_original_order(st)
+    np.testing.assert_array_equal(np.asarray(omass), np.asarray(mass))
+    np.testing.assert_array_equal(np.asarray(opos), np.asarray(pos))
+    np.testing.assert_array_equal(np.asarray(ovel), np.asarray(vel))
