@@ -143,7 +143,7 @@ def main(argv=None) -> int:
     p.add_argument("--group-size", type=int, default=256)
     p.add_argument("--depth", type=int, default=8)
     p.add_argument("--list-cap", type=int, default=6144)
-    p.add_argument("--skin", type=float, default=6.0)
+    p.add_argument("--skin", type=float, default=2.0)
     p.add_argument("--rebuild-interval", type=int, default=48)
     p.add_argument("--drift-mode", choices=["max", "off"], default="off")
     p.add_argument("--verbose", action="store_true")

@@ -31,6 +31,13 @@ VARIANTS = {
     "tile256_quad": {"eval_far_tile": 256, "use_quadrupole": True,
                      "quad_accept_scale": 1.0},
     "xla_fallback": {"use_pallas_eval": False},
+    # Timing-only probes (physics-breaking list truncation is fine here).
+    "probe_L1024": {"list_capacity": 1024},
+    "probe_L2048": {"list_capacity": 2048},
+    "probe_wg1": {"window_groups": 1},
+    "probe_gpp1": {"eval_groups_per_program": 1},
+    "probe_gpp8": {"eval_groups_per_program": 8},
+    "probe_adv1": {"advance_order": 1},
 }
 
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from spatialsim_tpu.config.nbody import NBodyConfig
 from spatialsim_tpu import distributions
 from spatialsim_tpu.ops.bh_window import (
-    build_lists, build_diagnostics, eval_accel, init_window_state,
+    build_lists, build_diagnostics, eval_accel_sorted, init_window_state,
     make_window_step, _build_kw)
 
 
@@ -44,7 +44,7 @@ def main():
         num_bodies=n, theta=0.8, G=0.1, softening=2.0, damping=1.0,
         spawn_radius=500.0, distribution="galaxy", engine="window",
         max_depth=8, group_size=256, window_groups=2, list_capacity=6144,
-        skin=6.0, rebuild_interval=48, rebuild_drift_mode="off")
+        skin=2.0, rebuild_interval=48, rebuild_drift_mode="off")
     print(f"n={n:,} platform={jax.devices()[0].platform}", flush=True)
 
     p, v, m = distributions.generate_distribution(
@@ -63,13 +63,19 @@ def main():
           flush=True)
 
     kw = _build_kw(cfg)
-    t_build, lists = timeit(lambda: build_lists(pos, vel, mass, **kw))
+    acc0 = jnp.zeros_like(pos)   # production rebuilds carry accelerations
+    t_build, lists = timeit(
+        lambda: build_lists(pos, vel, mass, acc0, **kw))
     print(f"rebuild: {t_build*1000:.0f} ms", flush=True)
 
+    # Production eval path: sorted state, gather-free.
+    pos_s = pos[:, lists.order[:n]]
+    mass_s = mass[lists.order[:n]]
     ekw = dict(G=cfg.G, softening=cfg.softening, group_size=cfg.group_size,
                window_groups=cfg.window_groups, use_pallas=True)
     t_eval, _ = timeit(
-        lambda: eval_accel(lists, pos, mass, jnp.float32(0.02), **ekw))
+        lambda: eval_accel_sorted(lists, pos_s, mass_s, jnp.float32(0.02),
+                                  **ekw))
     print(f"eval:    {t_eval*1000:.1f} ms", flush=True)
 
     # Sustained: chain of rebuild_interval steps (includes one rebuild).

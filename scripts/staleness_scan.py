@@ -70,6 +70,15 @@ def main():
     idx = jnp.asarray(np.sort(rng.choice(n, 2048, replace=False)))
 
     st = init_window_state(pos, vel, mass, cfg)
+    # Warm-up: the init build has zero accelerations (first interval is
+    # ballistic); run a few steps and cross one rebuild so the measured
+    # lists carry real cell accelerations (advance_order=2).
+    wstep = make_window_step(cfg.replace(rebuild_interval=4), n, substeps=5)
+    st = wstep(st, dt)
+    np.asarray(st.pos[0, :1])
+    print(f"# warmup done, steps_since={int(st.lists.steps_since)}, "
+          f"advance_order={cfg.advance_order}", flush=True)
+
     ekw = dict(G=cfg.G, softening=cfg.softening, group_size=cfg.group_size,
                window_groups=cfg.window_groups, use_pallas=True)
     taus = [0, 24, 48, 96]

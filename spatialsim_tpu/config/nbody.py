@@ -54,7 +54,14 @@ class NBodyConfig:
     #   (per-step reference-parity traversal), "window" (amortized).
     engine: str = "auto"
     window_groups: int = 2       # Morton window half-width, in groups
-    skin: float = 6.0            # Verlet-list acceptance dilation
+    # Acceptance-dilation margin.  Measured at 1M (scripts/staleness_scan
+    # + quad_scan): drift outruns any practical skin within ~6 steps, so
+    # stale-list error is governed by the entry ADVANCE (advance_order),
+    # not the skin — while a big skin inflates deep-level traversal
+    # demand ~45% and saturates the worklist (which *worsened* fresh rms
+    # 3.2% -> 4.2% at skin 6).  2.0 keeps a small margin at the measured
+    # error optimum.
+    skin: float = 2.0
     rebuild_interval: int = 48   # max steps between list rebuilds
     # Drift rebuild policy: "max" rebuilds when ANY body moves > skin/2
     # since the last build (strict Verlet safety — one fast core body can
@@ -78,9 +85,26 @@ class NBodyConfig:
     use_quadrupole: bool = False
     quad_accept_scale: float = 0.0
     eval_far_tile: int = 512     # Pallas far-list VMEM tile length
+    # Morton groups evaluated per Pallas program: batching amortizes the
+    # per-program pipeline overhead (~15 ms across 3907 single-group
+    # programs at 1M bodies, measured).
+    eval_groups_per_program: int = 4
+    # Frozen-entry advance order between rebuilds: 2 (default) stores the
+    # per-cell mean acceleration at build and advances entries as
+    # com + v·τ + a·τ²/2; 1 is the ballistic advance, whose ½|a|τ² error
+    # dominates stale-list force error in high-curvature cores (measured
+    # 23% rms at 1M, τ=24 — scripts/staleness_scan.py).
+    advance_order: int = 2
+    # Curvature horizon (steps) for the quadratic term: past this the
+    # frozen acceleration has rotated with the orbit and extrapolating
+    # tau^2 overshoots (measured at 1M: better than ballistic to ~tau 30,
+    # worse past ~48), so the velocity correction stops growing there.
+    advance_tau_clamp: int = 24
     # Global-worklist size budget for the rebuild traversal; overflow
-    # degrades entries to bounded-error monopoles/residuals.
-    # 0 = auto (min(6M, max(256K, 5*npad))).
+    # degrades entries to bounded-error monopoles/residuals.  Rebuild
+    # cost is proportional to the STATIC caps (not the fill), so the
+    # budget is sized to measured demand + headroom.
+    # 0 = auto (min(6M, max(256K, 4.2*npad))).
     worklist_budget: int = 0
 
     # dt cap applied inside the simulation step (reference simulation.py:802).

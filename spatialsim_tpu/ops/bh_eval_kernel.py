@@ -1,20 +1,25 @@
 """Pallas kernel for the windowed-BH per-step force evaluation.
 
 Replaces the XLA dense evaluation in :mod:`spatialsim_tpu.ops.bh_window`
-(measured ~84 ms/step at 1M bodies) with a single fused kernel per group:
+(measured ~84 ms/step at 1M bodies) with a single fused kernel per batch
+of ``gpp`` groups:
 
-* the group's own bodies arrive transposed ``(gsz, 8)`` (bodies on
-  sublanes), the 2·wg+1 window blocks arrive as ``(8, gsz)`` lanes-major
-  slices of the padded sorted array — both layouts chosen so the kernel
-  never transposes;
-* far entries stream from a per-group ``(4, L)`` VMEM block in tiles, and
-  the tile loop is bounded by the group's ACTUAL entry count (scalar
-  prefetch) — padding tiles are skipped instead of masked;
+* each program evaluates ``gpp`` consecutive Morton groups (batching
+  amortizes the per-program dispatch/pipeline overhead — at 1M bodies a
+  grid of 3907 single-group programs left ~15 ms of fixed cost);
+* the group's own bodies arrive transposed ``(gpp*gsz, 8)`` (bodies on
+  sublanes), the window arrives as ``gpp + 2*wg`` lanes-major ``(8,
+  gsz)`` block views of the padded sorted array — group j reads views
+  j..j+2wg, so no transposes and no overlap duplication;
+* far entries stream from a per-group row of the ``(gpp, R, L)`` VMEM
+  block in tiles, and the tile loop is bounded by the group's ACTUAL
+  entry count (scalar prefetch) — padding tiles are skipped, not masked;
 * pairwise math uses direct coordinate differences (exact in fp for
   nearby magnitudes — no cancellation, no centering needed) and the
   reference force law ``w = m/dist³`` gated by ``dist² > softening²``
   (reference ``nbody/simulation.py:247-266``); G is folded in once at the
-  end.
+  end.  R == 16 rows additionally carry the traceless quadrupole
+  (bh_window.far_eval_tensor): a ≈ m·d/r³ − (Q·d)/r⁵ + (5/2)(dᵀQd)d/r⁷.
 
 The pure-XLA path remains in bh_window.py as the fallback/oracle; the two
 are asserted equal in tests/test_bh_window.py.
@@ -50,7 +55,7 @@ def _pair_accum_quad(xi, yi, zi, xj, yj, zj, mj, q6, soft_sq):
     """Monopole + traceless-quadrupole forces of frozen entries j onto i.
 
     a += m·d/r³ − (Q·d)/r⁵ + (5/2)(dᵀQd)·d/r⁷ with d = source − target
-    (−∇ of Φ = −[m/r + dᵀQd/(2r⁵)]; matches
+    (the −∇ of Φ = −[m/r + dᵀQd/(2r⁵)]; matches
     spatialsim_tpu.ops.bh_window._dense_accel_quad, tested equal).
     q6 rows: qxx, qyy, qzz, qxy, qxz, qyz — each (1, S).
     """
@@ -75,76 +80,84 @@ def _pair_accum_quad(xi, yi, zi, xj, yj, zj, mj, q6, soft_sq):
 
 
 def _eval_kernel(far_n_ref, shared_n_ref, gpos_ref, *rest, soft_sq, G, gsz,
-                 far_tile, n_window, supergroup):
-    window_refs = rest[:n_window]
-    far_ref = rest[n_window]
-    shared_ref = rest[n_window + 1]
-    out_ref = rest[n_window + 2]
+                 far_tile, n_views, gpp, wg, supergroup):
+    window_refs = rest[:n_views]
+    far_ref = rest[n_views]
+    shared_ref = rest[n_views + 1]
+    out_ref = rest[n_views + 2]
 
-    g = pl.program_id(0)
+    p = pl.program_id(0)
+    n_window = 2 * wg + 1
 
-    # Sub-tile the i (target body) dimension so the (i, source) pairwise
-    # intermediates stay within VMEM for large group sizes.
-    iblk = min(gsz, 512)
-    for i0 in range(0, gsz, iblk):
-        xi = gpos_ref[i0:i0 + iblk, 0:1]
-        yi = gpos_ref[i0:i0 + iblk, 1:2]
-        zi = gpos_ref[i0:i0 + iblk, 2:3]
+    for j in range(gpp):
+        g = p * gpp + j
+        base = j * gsz
+        # Sub-tile the i (target body) dimension so the (i, source)
+        # pairwise intermediates stay within VMEM for large group sizes.
+        iblk = min(gsz, 512)
+        for i0 in range(0, gsz, iblk):
+            xi = gpos_ref[base + i0:base + i0 + iblk, 0:1]
+            yi = gpos_ref[base + i0:base + i0 + iblk, 1:2]
+            zi = gpos_ref[base + i0:base + i0 + iblk, 2:3]
 
-        ax = jnp.zeros((iblk, 1), jnp.float32)
-        ay = jnp.zeros((iblk, 1), jnp.float32)
-        az = jnp.zeros((iblk, 1), jnp.float32)
+            ax = jnp.zeros((iblk, 1), jnp.float32)
+            ay = jnp.zeros((iblk, 1), jnp.float32)
+            az = jnp.zeros((iblk, 1), jnp.float32)
 
-        # Near field: the Morton window, one dense block per neighbour.
-        for wref in window_refs:
-            dax, day, daz = _pair_accum(
-                xi, yi, zi, wref[0:1, :], wref[1:2, :], wref[2:3, :],
-                wref[3:4, :], soft_sq)
-            ax += dax
-            ay += day
-            az += daz
+            # Near field: group j's Morton window = views j..j+2wg.
+            for k in range(n_window):
+                wref = window_refs[j + k]
+                dax, day, daz = _pair_accum(
+                    xi, yi, zi, wref[0:1, :], wref[1:2, :], wref[2:3, :],
+                    wref[3:4, :], soft_sq)
+                ax += dax
+                ay += day
+                az += daz
 
-        def list_loop(ref, count, carry):
-            # Frozen-entry tiles, loop bounded by the actual entry count.
-            tile = min(far_tile, ref.shape[2])
-            n_tiles = (count + tile - 1) // tile
-            quad = ref.shape[1] > 4
+            def list_loop(ref, row, count, carry):
+                # Frozen-entry tiles, bounded by the actual entry count.
+                tile = min(far_tile, ref.shape[2])
+                n_tiles = (count + tile - 1) // tile
+                quad = ref.shape[1] > 4
 
-            def tile_body(t, carry):
-                ax, ay, az = carry
-                off = pl.multiple_of(t * tile, tile)
-                fx = ref[0, 0:1, pl.ds(off, tile)]
-                fy = ref[0, 1:2, pl.ds(off, tile)]
-                fz = ref[0, 2:3, pl.ds(off, tile)]
-                fm = ref[0, 3:4, pl.ds(off, tile)]
-                if quad:
-                    q6 = tuple(ref[0, 4 + k:5 + k, pl.ds(off, tile)]
-                               for k in range(6))
-                    dax, day, daz = _pair_accum_quad(
-                        xi, yi, zi, fx, fy, fz, fm, q6, soft_sq)
-                else:
-                    dax, day, daz = _pair_accum(xi, yi, zi, fx, fy, fz, fm,
-                                                soft_sq)
-                return ax + dax, ay + day, az + daz
+                def tile_body(t, carry):
+                    ax, ay, az = carry
+                    off = pl.multiple_of(t * tile, tile)
+                    fx = ref[row, 0:1, pl.ds(off, tile)]
+                    fy = ref[row, 1:2, pl.ds(off, tile)]
+                    fz = ref[row, 2:3, pl.ds(off, tile)]
+                    fm = ref[row, 3:4, pl.ds(off, tile)]
+                    if quad:
+                        q6 = tuple(ref[row, 4 + k:5 + k, pl.ds(off, tile)]
+                                   for k in range(6))
+                        dax, day, daz = _pair_accum_quad(
+                            xi, yi, zi, fx, fy, fz, fm, q6, soft_sq)
+                    else:
+                        dax, day, daz = _pair_accum(
+                            xi, yi, zi, fx, fy, fz, fm, soft_sq)
+                    return ax + dax, ay + day, az + daz
 
-            return jax.lax.fori_loop(0, n_tiles, tile_body, carry)
+                return jax.lax.fori_loop(0, n_tiles, tile_body, carry)
 
-        ax, ay, az = list_loop(far_ref, far_n_ref[g], (ax, ay, az))
-        ax, ay, az = list_loop(shared_ref, shared_n_ref[g // supergroup],
-                               (ax, ay, az))
+            ax, ay, az = list_loop(far_ref, j, far_n_ref[g], (ax, ay, az))
+            ax, ay, az = list_loop(shared_ref, 0,
+                                   shared_n_ref[g // supergroup],
+                                   (ax, ay, az))
 
-        out_ref[i0:i0 + iblk, :] = jnp.concatenate(
-            [ax * G, ay * G, az * G, jnp.zeros((iblk, 5), jnp.float32)],
-            axis=1)
+            out_ref[base + i0:base + i0 + iblk, :] = jnp.concatenate(
+                [ax * G, ay * G, az * G,
+                 jnp.zeros((iblk, 5), jnp.float32)], axis=1)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("G", "softening", "group_size", "window_groups",
-                     "far_tile", "supergroup", "local_slice"))
+                     "far_tile", "supergroup", "local_slice",
+                     "groups_per_program"))
 def pallas_window_eval(s_pos, s_mass, far4, far_n, shared4, shared_n, *,
                        G, softening, group_size=512, window_groups=3,
-                       far_tile=512, supergroup=1, local_slice=None):
+                       far_tile=512, supergroup=1, local_slice=None,
+                       groups_per_program=4):
     """Fused near-window + far-list (+ supergroup-shared) accelerations.
 
     Args:
@@ -162,6 +175,9 @@ def pallas_window_eval(s_pos, s_mass, far4, far_n, shared4, shared_n, *,
         only that contiguous group range (the multi-chip path hands each
         device its group shard; ``s_pos``/``s_mass`` stay global so the
         Morton windows cross shard boundaries correctly).
+      groups_per_program: groups evaluated by one Pallas program (clamped
+        to the supergroup size so the shared row stays constant within a
+        program; the group axis is zero-padded to a multiple).
     Returns:
       ``(3, n_groups * group_size)`` f32 accelerations in sorted order
       (the full ``npad`` when ``local_slice`` is None).
@@ -176,55 +192,65 @@ def pallas_window_eval(s_pos, s_mass, far4, far_n, shared4, shared_n, *,
     Ls = shared4.shape[2]
     soft_sq = float(softening) ** 2
     S = supergroup
+    gpp = max(1, min(groups_per_program, S))
+    ng2 = ((ng + gpp - 1) // gpp) * gpp
+    gpad = ng2 - ng
 
     pos8 = jnp.concatenate(
         [s_pos, s_mass[None, :], jnp.zeros((4, npad), jnp.float32)], axis=0)
-    # Window source array padded by wg zero-mass groups on each side,
-    # then sliced to the local range (+wg halo each side).
+    # Window source array padded by wg zero-mass groups on each side (plus
+    # the group-axis padding), then sliced to the local range + halos.
     pos8_winpad = jax.lax.dynamic_slice_in_dim(
-        jnp.pad(pos8, ((0, 0), (wg * gsz, wg * gsz))),
-        offset * gsz, (ng + 2 * wg) * gsz, axis=1)
+        jnp.pad(pos8, ((0, 0), (wg * gsz, (wg + gpad) * gsz))),
+        offset * gsz, (ng2 + 2 * wg) * gsz, axis=1)
     gpos_t = jax.lax.dynamic_slice_in_dim(
-        pos8, offset * gsz, ng * gsz, axis=1).T  # (ng*gsz, 8) bodies-major
+        jnp.pad(pos8, ((0, 0), (0, gpad * gsz))),
+        offset * gsz, ng2 * gsz, axis=1).T       # (ng2*gsz, 8) bodies-major
+    if gpad:
+        far4 = jnp.pad(far4, ((0, gpad), (0, 0), (0, 0)))
+        far_n = jnp.pad(far_n, (0, gpad))
 
-    n_window = 2 * wg + 1
+    n_views = gpp + 2 * wg
     # Index maps receive (grid index, scalar-prefetch refs) — ignored.
-    in_specs = [pl.BlockSpec((gsz, 8), lambda g, *_: (g, 0),
+    in_specs = [pl.BlockSpec((gpp * gsz, 8), lambda g, *_: (g, 0),
                              memory_space=pltpu.VMEM)]
-    for k in range(n_window):
+    for k in range(n_views):
         in_specs.append(pl.BlockSpec(
-            (8, gsz), (lambda g, *_, k=k: (0, g + k)),
+            (8, gsz), (lambda g, *_, k=k: (0, g * gpp + k)),
             memory_space=pltpu.VMEM))
-    in_specs.append(pl.BlockSpec((1, R, L), lambda g, *_: (g, 0, 0),
+    in_specs.append(pl.BlockSpec((gpp, R, L), lambda g, *_: (g, 0, 0),
                                  memory_space=pltpu.VMEM))
-    in_specs.append(pl.BlockSpec((1, Rs, Ls), lambda g, *_: (g // S, 0, 0),
-                                 memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(
+        (1, Rs, Ls), lambda g, *_: ((g * gpp) // S, 0, 0),
+        memory_space=pltpu.VMEM))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(ng,),
+        grid=(ng2 // gpp,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((gsz, 8), lambda g, *_: (g, 0),
+        out_specs=pl.BlockSpec((gpp * gsz, 8), lambda g, *_: (g, 0),
                                memory_space=pltpu.VMEM),
     )
 
     def kernel(far_n_ref, shared_n_ref, gpos_ref, *rest):
         _eval_kernel(far_n_ref, shared_n_ref, gpos_ref, *rest,
                      soft_sq=soft_sq, G=float(G), gsz=gsz,
-                     far_tile=far_tile, n_window=n_window, supergroup=S)
+                     far_tile=far_tile, n_views=n_views, gpp=gpp, wg=wg,
+                     supergroup=S)
 
     interpret = jax.default_backend() != "tpu"
     flops_far = 40 if R > 4 else 17
+    n_window = 2 * wg + 1
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ng * gsz, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ng2 * gsz, 8), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=int(ng) * gsz * (n_window * gsz * 17
                                    + (L + Ls) * flops_far),
             bytes_accessed=ng * gsz * 8 * 4 + ng * R * L * 4,
             transcendentals=int(ng) * gsz * (n_window * gsz + L + Ls)),
         interpret=interpret,
-    )(far_n, shared_n, gpos_t, *([pos8_winpad] * n_window), far4, shared4)
+    )(far_n, shared_n, gpos_t, *([pos8_winpad] * n_views), far4, shared4)
 
-    return out[:, :3].T
+    return out[:ng * gsz, :3].T

@@ -13,11 +13,16 @@ into a periodic REBUILD and makes the per-step work purely dense:
   dilated by ``skin``, so every list remains at least as accurate as the
   reference's per-body ``s/d < θ`` (``nbody/simulation.py:256-258``) until
   drift forces the next rebuild.
-* **Far field**: each accepted cell is frozen as ``(com₀, v₀, mass)``
-  with ``v₀`` the mass-weighted mean velocity; between rebuilds the entry
-  advances as ``com₀ + v₀·τ`` — first-order exact, second-order error in
-  the rebuild interval (measured 0.06-0.2% of system scale over 48-96
-  steps).  Per-step far evaluation reads only dense ``(groups, 8, L)``
+* **Far field**: each accepted cell is frozen as ``(com₀, v₀, mass[, Q,
+  a₀])`` with ``v₀``/``a₀`` the mass-weighted mean velocity/acceleration;
+  between rebuilds the entry advances as ``com₀ + v₀·τ + a₀·τ²/2`` with
+  the quadratic term's velocity correction clamped at the orbital
+  curvature horizon (``advance_tau_clamp``).  Measured at 1M galaxy
+  θ=0.8 (scripts/staleness_scan.py): the ballistic advance alone reaches
+  23% rms force error by τ=24 (the ½|a|τ² term in the core); the
+  second-order advance holds 8% at τ=24 but overshoots past τ≈48 as the
+  frozen ``a`` rotates — hence the clamp and the default rebuild
+  interval.  Per-step far evaluation reads only dense ``(groups, R, L)``
   tensors: no gathers, no scatters.
 * **Near field**: every group interacts exactly (softened direct sum)
   with the Morton **window** of ``2·window_groups+1`` neighbouring groups
@@ -51,17 +56,19 @@ from spatialsim_tpu.ops.integrator import integrate
 class BHLists(NamedTuple):
     """Amortized interaction structure (all shapes static)."""
 
-    order: jax.Array        # (Npad,) int32 sort permutation (pad: last body)
-    inv_order: jax.Array    # (N,) int32 original index -> sorted slot
-    far: jax.Array          # (ng, 8, L) f32 rows [com0 xyz, v0 xyz, m, 0]
+    order: jax.Array        # (Npad,) int32 sorted slot -> ORIGINAL body id
+    inv_order: jax.Array    # (N,) int32 original id -> sorted slot
+    # far rows: 8 = [com0 xyz, v0 xyz, m, 0] plain monopole; 16 adds the
+    # traceless quadrupole (rows 7:13) and/or mean acceleration (13:16).
+    far: jax.Array          # (ng, R, L) f32
     far_n: jax.Array        # (ng,) int32 actual entry counts
-    shared: jax.Array       # (nsg, 8, Ls) f32 supergroup-shared entries
+    shared: jax.Array       # (nsg, R, Ls) f32 supergroup-shared entries
     shared_n: jax.Array     # (nsg,) int32
-    ref_pos: jax.Array      # (3, N) positions at build (drift detection)
+    ref_pos: jax.Array      # (3, N) sorted positions at build (drift check)
     steps_since: jax.Array  # () int32 steps since build
-    # NOTE: entries are rows-major-8 x entries-minor so the minor (lane)
-    # dimension is the large one — (entries, 8) layouts pad 8 -> 128 on
-    # TPU (16x HBM blowup).
+    # NOTE: entries are rows-major x entries-minor so the minor (lane)
+    # dimension is the large one — (entries, R) layouts pad R -> 128 on
+    # TPU (up to 16x HBM blowup).
 
 
 def _exclusive_cumsum(x):
@@ -77,7 +84,7 @@ SLIVER_CAP = 64  # >= 4 emissions/level x levels; deterministic bound
 
 def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
                      gsz, window_groups, list_cap, n_levels, wl_caps,
-                     group_offset=0, quadrupole=False):
+                     group_offset=0, quadrupole=False, with_acc=False):
     """Global-worklist traversal: all (group, cell) pairs of one level in
     one flat, group-major list.
 
@@ -95,7 +102,8 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
     levels = tree.levels
     theta_sq = theta * theta
     L = list_cap
-    n_cols = 13 if quadrupole else 7
+    n_cols = 7 + (6 if quadrupole else 0) + (3 if with_acc else 0)
+    n_res = 10 if with_acc else 7
     bbox_min = (bbox_min - skin).T              # (3, ng)
     bbox_max = (bbox_max + skin).T
 
@@ -107,8 +115,8 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
     sl_start = jnp.zeros((ng * SLIVER_CAP,), jnp.int32)
     sl_end = jnp.zeros((ng * SLIVER_CAP,), jnp.int32)
     sl_n = jnp.zeros((ng,), jnp.int32)
-    # Residual accumulators: m, m*com, m*vel — 7 flat (ng,) columns.
-    res_cols = [jnp.zeros((ng,), jnp.float32) for _ in range(7)]
+    # Residual accumulators: m, m*com, m*vel (+ m*acc) — flat (ng,) cols.
+    res_cols = [jnp.zeros((ng,), jnp.float32) for _ in range(n_res)]
 
     # Init: every group x every start-level cell, group-major.  The
     # caller must size wl_caps[0] >= ng*c0 (c0 <= 64 at start level 2, so
@@ -161,6 +169,9 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
             vals = vals + (3.0 * cm2[0] - tr, 3.0 * cm2[1] - tr,
                            3.0 * cm2[2] - tr, 3.0 * cm2[3],
                            3.0 * cm2[4], 3.0 * cm2[5])
+        if with_acc:
+            cacc = lv.acc[:, cidx]                 # (3, W)
+            vals = vals + (cacc[0], cacc[1], cacc[2])
 
         # Window bounds in GLOBAL body indices (gidx is local to this
         # shard; group_offset maps it to the global group id).
@@ -211,6 +222,9 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
                 res_idx = jnp.where(over, gidx, ng)
                 contribs = (w, ccom[0] * w, ccom[1] * w, ccom[2] * w,
                             cvel[0] * w, cvel[1] * w, cvel[2] * w)
+                if with_acc:
+                    contribs = contribs + (vals[-3] * w, vals[-2] * w,
+                                           vals[-1] * w)
                 return [rc.at[res_idx].add(c, mode="drop")
                         for rc, c in zip(res_cols, contribs)]
 
@@ -289,14 +303,21 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
             wl_g = jnp.where(live, run_g[seg], ng)
             wl_sizes.append(wl_n)
 
-    # Assemble the (ng, R, L) eval tensor (entries on the minor/lane dim);
-    # R = 8 rows monopole, 16 with quadrupoles (padded to a sublane tile).
-    n_rows = 16 if quadrupole else 8
-    far = jnp.stack(
-        [fc.reshape(ng, L) for fc in far_cols]
-        + [jnp.zeros((ng, L), jnp.float32)] * (n_rows - n_cols),
-        axis=1)                                               # (ng, R, L)
-    res = jnp.stack(res_cols, axis=1)                         # (ng, 7)
+    # Assemble the (ng, R, L) eval tensor (entries on the minor/lane dim).
+    # R = 8 rows plain monopole; 16 when quadrupole and/or acceleration
+    # columns exist — fixed layout [com3, v3, m, q6, a3] with absent
+    # segments zero-filled, so downstream row indices are stable.
+    grid = [fc.reshape(ng, L) for fc in far_cols]
+    zero = jnp.zeros((ng, L), jnp.float32)
+    if quadrupole or with_acc:
+        rows = grid[:7]
+        rows += grid[7:13] if quadrupole else [zero] * 6
+        rows += grid[13:16] if (quadrupole and with_acc) else (
+            grid[7:10] if with_acc else [zero] * 3)
+    else:
+        rows = grid + [zero]
+    far = jnp.stack(rows, axis=1)                             # (ng, R, L)
+    res = jnp.stack(res_cols, axis=1)                         # (ng, 7|10)
     return (far, far_n, sl_start.reshape(ng, SLIVER_CAP),
             sl_end.reshape(ng, SLIVER_CAP), sl_n, res,
             jnp.stack(wl_sizes))
@@ -305,13 +326,18 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
 def _default_wl_caps(ng: int, n_levels: int, budget: int, c0: int = 64):
     """Per-level worklist capacities.
 
-    Shape measured at 1M bodies (galaxy, θ=0.8): coarse levels sit near
-    the ng x 64 init size, demand ramps from level ~6 and peaks at the
-    deepest levels — fractions below mirror that profile.  Level 0 must
-    hold the full ``ng * c0`` init frontier (c0 = start-level cell count,
-    <= 64) — anything smaller silently truncates every group's far field.
+    The traversal's cost is proportional to these STATIC caps (every
+    per-level pass processes the whole cap-sized vector), not to the
+    worklist's actual fill — so the caps are sized to the measured demand
+    profile plus ~25-30% headroom, and density drift beyond that folds
+    into bounded-error residual monopoles rather than growing the caps.
+    Measured at 1M galaxy θ=0.8, skin 2 (build_diagnostics): demand
+    [250K, 263K, 210K, 244K, 601K, 1250K, 3214K] against a 4.2M budget.
+    Level 0 must hold the full ``ng * c0`` init frontier (c0 =
+    start-level cell count, <= 64) — anything smaller silently truncates
+    every group's far field.
     """
-    frac = [0.08, 0.08, 0.08, 0.08, 0.2, 0.45] + [1.0] * max(
+    frac = [0.07, 0.07, 0.06, 0.07, 0.17, 0.36] + [1.0] * max(
         0, n_levels - 6)
     caps = []
     for li in range(n_levels):
@@ -326,8 +352,8 @@ def _default_wl_caps(ng: int, n_levels: int, budget: int, c0: int = 64):
     static_argnames=("theta", "softening", "skin", "max_depth", "group_size",
                      "window_groups", "list_cap", "worklist_budget",
                      "n_groups", "quadrupole"))
-def build_lists(pos, vel, mass, *, theta, softening, skin=4.0, max_depth=10,
-                group_size=256, window_groups=3, list_cap=2048,
+def build_lists(pos, vel, mass, acc=None, *, theta, softening, skin=4.0,
+                max_depth=10, group_size=256, window_groups=3, list_cap=2048,
                 worklist_budget=0, group_offset=0, n_groups=None,
                 quadrupole=False):
     """Morton-sort + octree + global-worklist traversal -> :class:`BHLists`.
@@ -360,10 +386,11 @@ def build_lists(pos, vel, mass, *, theta, softening, skin=4.0, max_depth=10,
     pad_mask = jnp.arange(npad) >= n
     s_mass = jnp.where(pad_mask, 0.0, mass[order_pad])
     s_vel = vel[:, order_pad]
+    s_acc = None if acc is None else acc[:, order_pad]
 
     tree = build_octree(s_codes, s_pos, s_mass, half, max_depth=max_depth,
                         start_level=2, n=npad, sorted_vel=s_vel,
-                        with_quadrupole=quadrupole)
+                        sorted_acc=s_acc, with_quadrupole=quadrupole)
     n_levels = len(tree.levels)
 
     ng_total = npad // gsz
@@ -377,7 +404,7 @@ def build_lists(pos, vel, mass, *, theta, softening, skin=4.0, max_depth=10,
         bbox_min = jax.lax.dynamic_slice_in_dim(bbox_min, group_offset, ng)
         bbox_max = jax.lax.dynamic_slice_in_dim(bbox_max, group_offset, ng)
 
-    budget = worklist_budget or min(6_000_000, max(262_144, 5 * npad))
+    budget = worklist_budget or min(6_000_000, max(262_144, int(4.2 * npad)))
     wl_caps = _default_wl_caps(ng, n_levels, budget,
                                c0=tree.levels[0].code.shape[0])
     far, far_n, sl_start, sl_end, sl_n, res, _wl = _traverse_global(
@@ -385,45 +412,57 @@ def build_lists(pos, vel, mass, *, theta, softening, skin=4.0, max_depth=10,
         soft_sq=float(softening) ** 2, skin=float(skin), gsz=gsz,
         window_groups=window_groups, list_cap=list_cap,
         n_levels=n_levels, wl_caps=wl_caps, group_offset=group_offset,
-        quadrupole=quadrupole)
+        quadrupole=quadrupole, with_acc=acc is not None)
     shared = jnp.zeros((1, far.shape[1], 128), jnp.float32)
     shared_n = jnp.zeros((1,), jnp.int32)
     return _finish_lists(far, far_n, sl_start, sl_end, sl_n, res,
                          shared, shared_n, s_pos, s_vel, s_mass, order,
-                         order_pad, pos, n, list_cap)
+                         order_pad, pos, n, list_cap, s_acc=s_acc)
 
 
 def _finish_lists(far, far_n, sl_start, sl_end, sl_n, res, shared, shared_n,
-                  s_pos, s_vel, s_mass, order, order_pad, pos, n, list_cap):
+                  s_pos, s_vel, s_mass, order, order_pad, pos, n, list_cap,
+                  s_acc=None):
     """Sliver moments + residual entry + BHLists assembly.
 
     ``far``/``shared`` use the (groups, R, entries) layout — R = 8 rows
     [com xyz, v xyz, m, 0] monopole, 16 with the traceless quadrupole in
-    rows 7:13.  Slivers and the residual stay monopole (Q rows zero):
-    both are mass-conserving fallbacks whose error is already bounded.
+    rows 7:13 and/or the mean acceleration in rows 13:16.  Slivers and
+    the residual stay monopole in Q (mass-conserving fallbacks) but do
+    carry mean velocity/acceleration so they advance like other entries.
     """
     ng, n_rows = far.shape[0], far.shape[1]
+    with_acc = s_acc is not None
 
     # Sliver moments (window-boundary fragments) from prefix sums; tiny
-    # gather (ng x SLIVER_CAP x 2 x 7).
+    # gather (ng x SLIVER_CAP x 2 x rows).
     w = s_mass[None, :]
+    cols = [s_mass[None, :], s_pos * w, s_vel * w]
+    if with_acc:
+        cols.append(s_acc * w)
+    n_pref = 10 if with_acc else 7
     pref = jnp.concatenate([
-        jnp.zeros((7, 1), jnp.float32),
-        jnp.cumsum(jnp.concatenate([s_mass[None, :], s_pos * w, s_vel * w],
-                                   axis=0), axis=1)], axis=1)   # (7, npad+1)
-    seg = pref[:, sl_end] - pref[:, sl_start]                   # (7, ng, SC)
+        jnp.zeros((n_pref, 1), jnp.float32),
+        jnp.cumsum(jnp.concatenate(cols, axis=0), axis=1)],
+        axis=1)                                          # (P, npad+1)
+    seg = pref[:, sl_end] - pref[:, sl_start]            # (P, ng, SC)
     svalid = (jnp.arange(SLIVER_CAP)[None, :] < sl_n[:, None])
     sm = jnp.where(svalid, seg[0], 0.0)
     sinv = jnp.where(sm > 0, 1.0 / jnp.maximum(sm, 1e-30), 0.0)
-    svals = jnp.stack([
-        seg[1] * sinv, seg[2] * sinv, seg[3] * sinv,
-        seg[4] * sinv, seg[5] * sinv, seg[6] * sinv, sm]
-        + [jnp.zeros_like(sm)] * (n_rows - 7), axis=1)          # (ng, R, SC)
+    srows = [seg[1] * sinv, seg[2] * sinv, seg[3] * sinv,
+             seg[4] * sinv, seg[5] * sinv, seg[6] * sinv, sm]
+    if n_rows > 8:
+        srows += [jnp.zeros_like(sm)] * 6                # q rows
+        srows += ([seg[7] * sinv, seg[8] * sinv, seg[9] * sinv]
+                  if with_acc else [jnp.zeros_like(sm)] * 3)
+    else:
+        srows += [jnp.zeros_like(sm)] * (n_rows - 7)
+    svals = jnp.stack(srows, axis=1)                     # (ng, R, SC)
 
     # Append slivers to the far lists (slot list_cap-1 stays reserved for
     # the residual; sliver overflow folds into the residual too).
     def append(fv, fn, sv, sn, rs):
-        # fv (8, L); sv (8, SC); rs (7,)
+        # fv (R, L); sv (R, SC); rs (7|10,)
         k = jnp.arange(SLIVER_CAP, dtype=jnp.int32)
         take = k < sn
         fits = take & (fn + k < list_cap - 1)
@@ -431,10 +470,12 @@ def _finish_lists(far, far_n, sl_start, sl_end, sl_n, res, shared, shared_n,
         fv = fv.at[:, slot].set(sv, mode="drop")
         over = take & ~fits
         om = jnp.where(over, sv[6, :], 0.0)
-        rs = rs + jnp.concatenate([
-            jnp.sum(om)[None],
-            jnp.sum(sv[0:3, :] * om[None, :], axis=1),
-            jnp.sum(sv[3:6, :] * om[None, :], axis=1)])
+        parts = [jnp.sum(om)[None],
+                 jnp.sum(sv[0:3, :] * om[None, :], axis=1),
+                 jnp.sum(sv[3:6, :] * om[None, :], axis=1)]
+        if with_acc:
+            parts.append(jnp.sum(sv[13:16, :] * om[None, :], axis=1))
+        rs = rs + jnp.concatenate(parts)
         return fv, jnp.minimum(fn + sn, list_cap - 1), rs
     far, far_n, res = jax.vmap(append)(far, far_n, svals, sl_n, res)
 
@@ -442,10 +483,15 @@ def _finish_lists(far, far_n, sl_start, sl_end, sl_n, res, shared, shared_n,
     res_m = res[:, 0]
     has_res = res_m > 0
     inv_m = jnp.where(has_res, 1.0 / jnp.maximum(res_m, 1e-30), 0.0)
-    res_entry = jnp.concatenate(
-        [res[:, 1:4] * inv_m[:, None], res[:, 4:7] * inv_m[:, None],
-         res_m[:, None], jnp.zeros((ng, n_rows - 7), jnp.float32)],
-        axis=1)                                                     # (ng, R)
+    rparts = [res[:, 1:4] * inv_m[:, None], res[:, 4:7] * inv_m[:, None],
+              res_m[:, None]]
+    if n_rows > 8:
+        rparts.append(jnp.zeros((ng, 6), jnp.float32))   # q rows
+        rparts.append(res[:, 7:10] * inv_m[:, None] if with_acc
+                      else jnp.zeros((ng, 3), jnp.float32))
+    else:
+        rparts.append(jnp.zeros((ng, n_rows - 7), jnp.float32))
+    res_entry = jnp.concatenate(rparts, axis=1)                 # (ng, R)
     far = far.at[:, :, list_cap - 1].set(
         jnp.where(has_res[:, None], res_entry, far[:, :, list_cap - 1]))
     far_n = jnp.where(has_res, list_cap, far_n)
@@ -462,23 +508,41 @@ def _finish_lists(far, far_n, sl_start, sl_end, sl_n, res, shared, shared_n,
 # Per-step dense evaluation
 # ---------------------------------------------------------------------------
 
-def far_eval_tensor(far, steps_since, dt):
+def far_eval_tensor(far, steps_since, dt, quadrupole=False,
+                    tau_clamp=24.0):
     """Frozen entries advanced to the current step, in eval-kernel layout.
 
-    ``far`` is the stored ``(ng, R, L)`` tensor.  R == 8 (monopole) maps to
-    ``(ng, 4, L)`` rows [x, y, z, m]; R == 16 (quadrupole) maps to
-    ``(ng, 16, L)`` rows [x, y, z, m, qxx, qyy, qzz, qxy, qxz, qyz, 0…] —
-    the COM advances ballistically, the quadrupole stays frozen (it is a
-    second-order moment; its drift over one rebuild interval is higher
-    order than the COM's).
+    ``far`` is the stored ``(ng, R, L)`` tensor.  R == 8 holds [com3, v3,
+    m, 0] and advances ballistically (com + v·τ).  R == 16 holds [com3,
+    v3, m, q6, a3] and advances to SECOND order (com + v·τ + a·τ²/2) —
+    the ballistic advance carries a ½|a|τ² position error that dominates
+    stale-list force error in high-curvature cores (measured 23% rms at
+    1M/τ=24, scripts/staleness_scan.py); the quadrupole stays frozen (its
+    drift is higher order still).
+
+    Output: ``(ng, 4, L)`` rows [x, y, z, m] — or, when ``quadrupole``
+    (static), ``(ng, 16, L)`` [x, y, z, m, q6, 0…] selecting the kernel's
+    quadrupole pair math.  The flag must be passed explicitly: a 16-row
+    store may carry accelerations only, and feeding zero quadrupoles to
+    the quad kernel would waste ~2.4x the far flops.
     """
     tau = steps_since.astype(jnp.float32) * dt
     fpos = far[:, 0:3, :] + far[:, 3:6, :] * tau
-    if far.shape[1] <= 8:
-        return jnp.concatenate([fpos, far[:, 6:7, :]], axis=1)
-    ng, _, L = far.shape
-    return jnp.concatenate(
-        [fpos, far[:, 6:13, :], jnp.zeros((ng, 6, L), jnp.float32)], axis=1)
+    if far.shape[1] > 8:
+        # Quadratic term with a clamped velocity correction: the frozen
+        # acceleration decorrelates on the orbital-curvature timescale
+        # (measured: helps 3-4x at tau<=24 steps, overshoots past ~48 —
+        # scripts/staleness_scan.py), so beyond tau_c the correction
+        # grows linearly instead of quadratically:
+        # disp = a·tau²/2 (tau<=tau_c), a·tau_c·(tau - tau_c/2) beyond.
+        tc = jnp.minimum(tau, jnp.float32(tau_clamp) * dt)
+        fpos = fpos + far[:, 13:16, :] * (tc * tau - 0.5 * tc * tc)
+    if quadrupole:
+        ng, _, L = far.shape
+        return jnp.concatenate(
+            [fpos, far[:, 6:13, :], jnp.zeros((ng, 6, L), jnp.float32)],
+            axis=1)
+    return jnp.concatenate([fpos, far[:, 6:7, :]], axis=1)
 
 
 def _window_sources(s_pos, s_mass, ng, gsz, window_groups):
@@ -556,7 +620,7 @@ def _dense_accel(gpos, src_pos, src_mass, G, soft_sq):
 
 def _eval_sorted_padded(lists: BHLists, s_pos, s_mass, dt, *, G, softening,
                         group_size, window_groups, chunk, use_pallas,
-                        far_tile):
+                        far_tile, quadrupole, tau_clamp=24.0, gpp=4):
     """Core evaluation on already-sorted padded ``(3, npad)`` inputs.
 
     Returns accelerations in SORTED slot order.  Wrapped by
@@ -573,17 +637,19 @@ def _eval_sorted_padded(lists: BHLists, s_pos, s_mass, dt, *, G, softening,
     nsg = lists.shared.shape[0]
     S_eff = max(1, ng // nsg)
 
-    quad = lists.far.shape[1] > 8
+    quad = quadrupole
 
     if use_pallas:
         from spatialsim_tpu.ops.bh_eval_kernel import pallas_window_eval
-        far_k = far_eval_tensor(lists.far, lists.steps_since, dt)
-        shared_k = far_eval_tensor(lists.shared, lists.steps_since, dt)
+        far_k = far_eval_tensor(lists.far, lists.steps_since, dt, quad,
+                                tau_clamp)
+        shared_k = far_eval_tensor(lists.shared, lists.steps_since, dt,
+                                   quad, tau_clamp)
         return pallas_window_eval(
             s_pos, s_mass, far_k, lists.far_n, shared_k, lists.shared_n,
             G=Gf, softening=softening, group_size=gsz,
             window_groups=window_groups, supergroup=S_eff,
-            far_tile=far_tile)
+            far_tile=far_tile, groups_per_program=gpp)
 
     gpos = jnp.moveaxis(s_pos.reshape(3, ng, gsz), 1, 0)      # (ng, 3, gsz)
     center = jnp.mean(gpos, axis=2, keepdims=True)            # (ng, 3, 1)
@@ -592,14 +658,21 @@ def _eval_sorted_padded(lists: BHLists, s_pos, s_mass, dt, *, G, softening,
     tau = lists.steps_since.astype(jnp.float32) * dt
     far = lists.far
     far_pos = far[:, 0:3, :] + far[:, 3:6, :] * tau           # (ng, 3, L)
+    if far.shape[1] > 8:
+        tcl = jnp.minimum(tau, jnp.float32(tau_clamp) * dt)
+        far_pos = far_pos + far[:, 13:16, :] * (tcl * tau - 0.5 * tcl * tcl)
     far_pos_c = far_pos - center
     far_mass = far[:, 6, :]                                   # (ng, L)
     far_q = (far[:, 7:13, :] if quad
              else jnp.zeros((ng, 6, far.shape[2]), jnp.float32))
 
     shr = lists.shared
-    shr_pos = jnp.repeat(shr[:, 0:3, :] + shr[:, 3:6, :] * tau,
-                         S_eff, axis=0)                       # (ng, 3, Ls)
+    shr_pos0 = shr[:, 0:3, :] + shr[:, 3:6, :] * tau
+    if shr.shape[1] > 8:
+        tcl = jnp.minimum(tau, jnp.float32(tau_clamp) * dt)
+        shr_pos0 = shr_pos0 + shr[:, 13:16, :] * (tcl * tau
+                                                  - 0.5 * tcl * tcl)
+    shr_pos = jnp.repeat(shr_pos0, S_eff, axis=0)             # (ng, 3, Ls)
     shr_pos_c = shr_pos - center
     shr_mass = jnp.repeat(shr[:, 6, :], S_eff, axis=0)
 
@@ -633,10 +706,13 @@ def _eval_sorted_padded(lists: BHLists, s_pos, s_mass, dt, *, G, softening,
 
 @functools.partial(jax.jit, static_argnames=("group_size", "window_groups",
                                              "G", "softening", "chunk",
-                                             "use_pallas", "far_tile"))
+                                             "use_pallas", "far_tile",
+                                             "quadrupole", "tau_clamp",
+                                             "gpp"))
 def eval_accel(lists: BHLists, pos, mass, dt, *, G, softening,
                group_size=256, window_groups=3, chunk=64, use_pallas=True,
-               far_tile=512):
+               far_tile=512, quadrupole=False, tau_clamp=24.0,
+               gpp=4):
     """Accelerations at ORIGINAL-order positions (testing/one-shot API).
 
     Pays two permutation gathers (sort in, unsort out) — the production
@@ -651,16 +727,20 @@ def eval_accel(lists: BHLists, pos, mass, dt, *, G, softening,
     acc_sorted = _eval_sorted_padded(
         lists, s_pos, s_mass, dt, G=G, softening=softening,
         group_size=group_size, window_groups=window_groups, chunk=chunk,
-        use_pallas=use_pallas, far_tile=far_tile)
+        use_pallas=use_pallas, far_tile=far_tile, quadrupole=quadrupole,
+        tau_clamp=tau_clamp, gpp=gpp)
     return acc_sorted[:, lists.inv_order]
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "window_groups",
                                              "G", "softening", "chunk",
-                                             "use_pallas", "far_tile"))
+                                             "use_pallas", "far_tile",
+                                             "quadrupole", "tau_clamp",
+                                             "gpp"))
 def eval_accel_sorted(lists: BHLists, pos_s, mass_s, dt, *, G, softening,
                       group_size=256, window_groups=3, chunk=64,
-                      use_pallas=True, far_tile=512):
+                      use_pallas=True, far_tile=512, quadrupole=False,
+                      tau_clamp=24.0, gpp=4):
     """Accelerations for SORTED ``(3, n)`` state — gather-free hot path.
 
     Pads the group tail by repeating the last body (mass 0) instead of
@@ -679,7 +759,8 @@ def eval_accel_sorted(lists: BHLists, pos_s, mass_s, dt, *, G, softening,
     acc_sorted = _eval_sorted_padded(
         lists, s_pos, s_mass, dt, G=G, softening=softening,
         group_size=group_size, window_groups=window_groups, chunk=chunk,
-        use_pallas=use_pallas, far_tile=far_tile)
+        use_pallas=use_pallas, far_tile=far_tile, quadrupole=quadrupole,
+        tau_clamp=tau_clamp, gpp=gpp)
     return acc_sorted[:, :n]
 
 
@@ -701,6 +782,10 @@ class WindowBHState(NamedTuple):
     vel: jax.Array      # (3, n) f32, sorted order
     mass: jax.Array     # (n,) f32, sorted order
     lists: BHLists
+    # Previous step's accelerations (sorted order); feeds the rebuild's
+    # second-order entry advance (advance_order >= 2).  None when the
+    # engine runs first-order.
+    acc: jax.Array | None = None
 
 
 def state_original_order(state: WindowBHState):
@@ -737,11 +822,15 @@ def make_window_step(config, n: int, substeps: int = 1):
                group_size=config.group_size,
                window_groups=config.window_groups,
                use_pallas=getattr(config, "use_pallas_eval", True),
-               far_tile=getattr(config, "eval_far_tile", 512))
+               far_tile=getattr(config, "eval_far_tile", 512),
+               quadrupole=getattr(config, "use_quadrupole", False),
+               tau_clamp=float(getattr(config, "advance_tau_clamp", 24)),
+               gpp=getattr(config, "eval_groups_per_program", 4))
     damping = config.damping
     interval = config.rebuild_interval
     skin = config.skin
     drift_mode = getattr(config, "rebuild_drift_mode", "max")
+    advance2 = getattr(config, "advance_order", 2) >= 2
 
     def substep(state: WindowBHState, dt):
         lists = state.lists
@@ -751,19 +840,27 @@ def make_window_step(config, n: int, substeps: int = 1):
             need = need | (drift > skin * 0.5)
 
         def do_rebuild(args):
-            pos, vel, mass, lists = args
+            pos, vel, mass, acc, lists = args
             # Re-sort the (nearly sorted) state and compose the
-            # slot -> original-body mapping across builds.
-            return _resort_state(pos, vel, mass, lists.order,
-                                 lists.inv_order, kw)
+            # slot -> original-body mapping across builds.  The previous
+            # step's accelerations feed the second-order entry advance.
+            pos2, vel2, mass2, nl = _resort_state(
+                pos, vel, mass, lists.order, lists.inv_order, kw,
+                acc=acc if advance2 else None)
+            # acc is returned un-resorted purely for branch shape parity:
+            # eval_accel_sorted recomputes it (new layout) right below.
+            return pos2, vel2, mass2, acc, nl
 
-        pos, vel, mass, lists = jax.lax.cond(
+        pos, vel, mass, _, lists = jax.lax.cond(
             need, do_rebuild, lambda a: a,
-            (state.pos, state.vel, state.mass, lists))
+            (state.pos, state.vel, state.mass, state.acc, lists))
         acc = eval_accel_sorted(lists, pos, mass, dt, **ekw)
         pos, vel = integrate(pos, vel, acc, dt, damping)
         lists = lists._replace(steps_since=lists.steps_since + 1)
-        return WindowBHState(pos, vel, mass, lists)
+        # Keep the carry structure stable: acc only lives in the state
+        # when the second-order advance consumes it.
+        return WindowBHState(pos, vel, mass, lists,
+                             acc if advance2 else None)
 
     def step(state, dt):
         def body(s, _):
@@ -774,7 +871,7 @@ def make_window_step(config, n: int, substeps: int = 1):
     return jax.jit(step, donate_argnums=(0,))
 
 
-def _resort_state(pos, vel, mass, prev_order, prev_inv, kw):
+def _resort_state(pos, vel, mass, prev_order, prev_inv, kw, acc=None):
     """Rebuild lists from a sorted-layout state and re-sort it.
 
     ``prev_order``: (npad,) current slot -> ORIGINAL body id;
@@ -784,7 +881,7 @@ def _resort_state(pos, vel, mass, prev_order, prev_inv, kw):
     host-facing reads and frame capture stay stable across rebuilds.
     """
     n = pos.shape[1]
-    nl = build_lists(pos, vel, mass, **kw)
+    nl = build_lists(pos, vel, mass, acc, **kw)
     o = nl.order                       # (npad,) new slot -> previous slot
     o_real = o[:n]                     # true permutation of [0, n)
     pos2 = pos[:, o_real]
@@ -799,11 +896,18 @@ def _resort_state(pos, vel, mass, prev_order, prev_inv, kw):
 
 
 def init_window_state(pos, vel, mass, config) -> WindowBHState:
-    """Build lists from ORIGINAL-order inputs and return the sorted state."""
+    """Build lists from ORIGINAL-order inputs and return the sorted state.
+
+    With ``advance_order >= 2`` the first build uses zero accelerations
+    (first interval falls back to the ballistic advance); subsequent
+    rebuilds use the previous step's accelerations carried in the state.
+    """
     from spatialsim_tpu.config.nbody import resolve_config
     config = resolve_config(config, pos.shape[1])
     n = pos.shape[1]
-    lists = build_lists(pos, vel, mass, **_build_kw(config))
+    advance2 = getattr(config, "advance_order", 2) >= 2
+    acc0 = jnp.zeros_like(pos) if advance2 else None
+    lists = build_lists(pos, vel, mass, acc0, **_build_kw(config))
     o_real = lists.order[:n]
     pos_s = pos[:, o_real]
     vel_s = vel[:, o_real]
@@ -812,7 +916,8 @@ def init_window_state(pos, vel, mass, config) -> WindowBHState:
     # pytree, and donating one buffer twice (pos aliasing ref_pos) is a
     # runtime error.
     lists = lists._replace(ref_pos=jnp.copy(pos_s))
-    return WindowBHState(pos_s, vel_s, mass_s, lists)
+    return WindowBHState(pos_s, vel_s, mass_s, lists,
+                         jnp.zeros_like(pos_s) if advance2 else None)
 
 
 def build_diagnostics(pos, vel, mass, config):
@@ -835,7 +940,8 @@ def build_diagnostics(pos, vel, mass, config):
     pad = npad - n
     n_levels = max_depth - 2 + 1
     ng = npad // gsz
-    budget = kw["worklist_budget"] or min(6_000_000, max(262_144, 5 * npad))
+    budget = kw["worklist_budget"] or min(6_000_000,
+                                          max(262_144, int(4.2 * npad)))
     wl_caps = _default_wl_caps(ng, n_levels, budget,
                                c0=level_capacity(2, npad))
 
@@ -897,4 +1003,5 @@ def window_bh_accel(pos, vel, mass, config, dt=0.0, use_pallas=None):
                       softening=config.softening,
                       group_size=config.group_size,
                       window_groups=config.window_groups,
-                      use_pallas=use_pallas)
+                      use_pallas=use_pallas,
+                      quadrupole=getattr(config, "use_quadrupole", False))

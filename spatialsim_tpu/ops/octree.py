@@ -58,6 +58,13 @@ class OctreeLevel(NamedTuple):
     # COM-central (all-small quantities) so f32 never cancels large
     # world-coordinate products.
     m2: jax.Array | None = None
+    # Mass-weighted mean acceleration (3, C); None unless sorted_acc was
+    # given.  Lets frozen far entries advance to second order
+    # (com + v·τ + a·τ²/2) — the ballistic first-order advance underpins
+    # a ~½|a|τ² position error that dominates stale-list force error in
+    # high-curvature regions (galaxy cores), measured in
+    # scripts/staleness_scan.py.
+    acc: jax.Array | None = None
 
 
 class Octree(NamedTuple):
@@ -99,7 +106,7 @@ def _outer6(d):
                                              "with_quadrupole"))
 def build_octree(sorted_codes, sorted_pos, sorted_mass, half, *,
                  max_depth, start_level=2, n=None, sorted_vel=None,
-                 with_quadrupole=False):
+                 sorted_acc=None, with_quadrupole=False):
     """Build all levels from Morton-sorted bodies.
 
     Args:
@@ -113,6 +120,8 @@ def build_octree(sorted_codes, sorted_pos, sorted_mass, half, *,
       sorted_vel: optional ``(3, N)`` velocities — when given, each cell
         also carries its mass-weighted mean velocity (used to freeze far
         cells ballistically in ops/bh_window.py).
+      sorted_acc: optional ``(3, N)`` accelerations — when given, cells
+        carry the mean acceleration too (second-order entry advance).
 
     Returns:
       :class:`Octree` with ``max_depth - start_level + 1`` levels.
@@ -128,6 +137,8 @@ def build_octree(sorted_codes, sorted_pos, sorted_mass, half, *,
     mass = _segment(sorted_mass, seg, cap)
     wpos = _segment((sorted_pos * sorted_mass[None, :]).T, seg, cap).T
     wvel = _segment((sorted_vel * sorted_mass[None, :]).T, seg, cap).T
+    wacc = (None if sorted_acc is None else
+            _segment((sorted_acc * sorted_mass[None, :]).T, seg, cap).T)
     count = _segment(jnp.ones_like(seg), seg, cap)
     code = _scatter_min(SENTINEL, cap, seg, sorted_codes)
     body_start = _scatter_min(
@@ -145,7 +156,8 @@ def build_octree(sorted_codes, sorted_pos, sorted_mass, half, *,
         code=code, mass=mass, com=com, vel=wvel * inv_m,
         count=count, body_start=body_start,
         child_start=jnp.zeros((cap,), jnp.int32),
-        child_count=jnp.zeros((cap,), jnp.int32), n_cells=n_cells, m2=m2)
+        child_count=jnp.zeros((cap,), jnp.int32), n_cells=n_cells, m2=m2,
+        acc=None if wacc is None else wacc * inv_m)
 
     # --- pool upward ---
     levels = [deepest]
@@ -165,6 +177,9 @@ def build_octree(sorted_codes, sorted_pos, sorted_mass, half, *,
         pmass = _segment(child.mass, pseg, pcap)
         pwpos = _segment((child.com * child.mass[None, :]).T, pseg, pcap).T
         pwvel = _segment((child.vel * child.mass[None, :]).T, pseg, pcap).T
+        pwacc = (None if child.acc is None else
+                 _segment((child.acc * child.mass[None, :]).T, pseg,
+                          pcap).T)
         pcount = _segment(child.count, pseg, pcap)
         pcode = _scatter_min(SENTINEL, pcap, pseg, parent_code)
         pbody = _scatter_min(n, pcap, pseg, child.body_start)
@@ -183,7 +198,8 @@ def build_octree(sorted_codes, sorted_pos, sorted_mass, half, *,
         parent = OctreeLevel(
             code=pcode, mass=pmass, com=pcom, vel=pwvel * pinv_m,
             count=pcount, body_start=pbody,
-            child_start=cstart, child_count=ccount, n_cells=pn, m2=pm2)
+            child_start=cstart, child_count=ccount, n_cells=pn, m2=pm2,
+            acc=None if pwacc is None else pwacc * pinv_m)
         levels.append(parent)
         child = parent
 

@@ -224,20 +224,25 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
     damping = config.damping
     wg = config.window_groups
     Gf = float(config.G)
+    advance2 = getattr(config, "advance_order", 2) >= 2
+    quad = getattr(config, "use_quadrupole", False)
+    tau_clamp = float(getattr(config, "advance_tau_clamp", 24))
 
-    def step_local(pos_l, vel_l, mass_l, order, inv_order, far_l, far_n_l,
-                   ref_l, steps_since, dt):
+    def step_local(pos_l, vel_l, mass_l, acc_l, order, inv_order, far_l,
+                   far_n_l, ref_l, steps_since, dt):
         dev = jax.lax.axis_index(axis)
 
         def substep(carry, _):
-            (pos_l, vel_l, mass_l, order, inv_order, far_l, far_n_l,
-             ref_l, ss) = carry
+            (pos_l, vel_l, mass_l, acc_l, order, inv_order, far_l,
+             far_n_l, ref_l, ss) = carry
             pos_f = jax.lax.all_gather(pos_l, axis, axis=1, tiled=True)
             vel_f = jax.lax.all_gather(vel_l, axis, axis=1, tiled=True)
             mass_f = jax.lax.all_gather(mass_l, axis, tiled=True)
+            acc_f = (jax.lax.all_gather(acc_l, axis, axis=1, tiled=True)
+                     if advance2 else None)
 
             def do_rebuild(args):
-                nl = build_lists(pos_f, vel_f, mass_f,
+                nl = build_lists(pos_f, vel_f, mass_f, acc_f,
                                  group_offset=dev * ngl, n_groups=ngl,
                                  **kw)
                 o = nl.order                  # new slot -> previous slot
@@ -274,7 +279,7 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
                 (pos_l, vel_l, mass_l, order, inv_order, far_l, far_n_l,
                  ref_l, ss))
 
-            far4 = far_eval_tensor(far2, ss2, dt)
+            far4 = far_eval_tensor(far2, ss2, dt, quad, tau_clamp)
             shared4 = jnp.zeros((1, far4.shape[1], 128), jnp.float32)
             shared_n = jnp.zeros((1,), jnp.int32)
 
@@ -290,21 +295,23 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
                 for d in range(D)])
 
             pos3, vel3 = integrate(pos_l2, vel_l2, acc_l, dt, damping)
-            return (pos3, vel3, mass_l2, order2, inv2, far2, farn2, ref2,
-                    ss2 + 1), None
+            acc_carry = acc_l if advance2 else None
+            return (pos3, vel3, mass_l2, acc_carry, order2, inv2, far2,
+                    farn2, ref2, ss2 + 1), None
 
-        init = (pos_l, vel_l, mass_l, order, inv_order, far_l, far_n_l,
-                ref_l, steps_since)
+        init = (pos_l, vel_l, mass_l, acc_l, order, inv_order, far_l,
+                far_n_l, ref_l, steps_since)
         out, _ = jax.lax.scan(substep, init, None, length=substeps)
         return out
 
     sh2 = P(None, axis)
     sh1 = P(axis)
     rep = P()
-    in_specs = (sh2, sh2, sh1, rep, rep, P(axis, None, None), sh1, sh2,
-                rep, rep)
-    out_specs = (sh2, sh2, sh1, rep, rep, P(axis, None, None), sh1, sh2,
-                 rep)
+    acc_spec = sh2 if advance2 else rep
+    in_specs = (sh2, sh2, sh1, acc_spec, rep, rep, P(axis, None, None),
+                sh1, sh2, rep, rep)
+    out_specs = (sh2, sh2, sh1, acc_spec, rep, rep, P(axis, None, None),
+                 sh1, sh2, rep)
     try:
         smapped = shard_map(step_local, mesh=mesh, in_specs=in_specs,
                             out_specs=out_specs, check_rep=False)
@@ -314,17 +321,19 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
 
     def step(state: WindowBHState, dt):
         lists = state.lists
-        (pos, vel, mass, order, inv_order, far, far_n, ref, ss) = smapped(
-            state.pos, state.vel, state.mass, lists.order,
+        (pos, vel, mass, acc, order, inv_order, far, far_n, ref,
+         ss) = smapped(
+            state.pos, state.vel, state.mass, state.acc, lists.order,
             lists.inv_order, lists.far, lists.far_n, lists.ref_pos,
             lists.steps_since, dt)
         new_lists = lists._replace(order=order, inv_order=inv_order,
                                    far=far, far_n=far_n, ref_pos=ref,
                                    steps_since=ss)
-        return WindowBHState(pos, vel, mass, new_lists)
+        return WindowBHState(pos, vel, mass, new_lists, acc)
 
     def init_fn(pos, vel, mass):
-        lists = build_lists(pos, vel, mass, **kw)
+        acc0 = jnp.zeros_like(pos) if advance2 else None
+        lists = build_lists(pos, vel, mass, acc0, **kw)
         o_real = lists.order[:n]
         pos_s = pos[:, o_real]
         vel_s = vel[:, o_real]
@@ -336,8 +345,10 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
             ref_pos=place(jnp.copy(pos_s), sh2),
             order=place(lists.order, rep),
             inv_order=place(lists.inv_order, rep))
-        return WindowBHState(place(pos_s, sh2), place(vel_s, sh2),
-                             place(mass_s, sh1), lists)
+        return WindowBHState(
+            place(pos_s, sh2), place(vel_s, sh2), place(mass_s, sh1),
+            lists,
+            place(jnp.zeros_like(pos_s), sh2) if advance2 else None)
 
     return jax.jit(step, donate_argnums=(0,)), init_fn
 

@@ -224,3 +224,56 @@ def test_sorted_state_preserves_identity_across_rebuilds():
     np.testing.assert_array_equal(np.asarray(omass), np.asarray(mass))
     np.testing.assert_array_equal(np.asarray(opos), np.asarray(pos))
     np.testing.assert_array_equal(np.asarray(ovel), np.asarray(vel))
+
+
+def test_second_order_far_advance_tracks_acceleration():
+    # A distant clump with velocity AND constant acceleration: the
+    # second-order advance (com + v*tau + a*tau^2/2, advance_order=2)
+    # must track it; the ballistic advance is off by a*tau^2/2.
+    rng = np.random.default_rng(2)
+    n = 2048
+    pos = rng.normal(size=(3, n)).astype(np.float32) * 5.0
+    pos[0, n // 2:] += 500.0
+    vel = np.zeros((3, n), np.float32)
+    vel[0, n // 2:] = -10.0
+    a_true = np.zeros((3, n), np.float32)
+    a_true[0, n // 2:] = -4.0              # clump decelerating inward
+    mass = np.ones(n, np.float32)
+    cfg = _cfg(group_size=64, window_groups=1)
+    dt, steps = 0.1, 20
+    tau = dt * steps
+    moved = pos.copy()
+    moved[0, n // 2:] += -10.0 * tau - 0.5 * 4.0 * tau * tau
+
+    from spatialsim_tpu.ops.bh_window import eval_accel
+    kw = _build_kw(cfg)
+    errs = {}
+    for tag, acc_in in (("order2", jnp.asarray(a_true)), ("order1", None)):
+        lists = build_lists(jnp.asarray(pos), jnp.asarray(vel),
+                            jnp.asarray(mass), acc_in, **kw)
+        stale = lists._replace(steps_since=jnp.int32(steps))
+        a_pred = eval_accel(stale, jnp.asarray(moved), jnp.asarray(mass),
+                            jnp.float32(dt), G=0.1, softening=2.0,
+                            group_size=64, window_groups=1)
+        a_ref = allpairs_accel_reference(jnp.asarray(moved),
+                                         jnp.asarray(mass), 0.1, 2.0)
+        errs[tag] = np.percentile(_err_over_rms(a_pred, a_ref), 99)
+    # order2 sits at the config's theta floor (~0.04, same as the
+    # velocity-only advance test); order1 is off by a*tau^2/2 = 8 units
+    # (measured p99 ~1.1).
+    assert errs["order2"] < 0.05
+    assert errs["order2"] < errs["order1"] * 0.25, errs
+
+
+def test_ballistic_advance_order_still_steps():
+    # advance_order=1 (no acceleration carry) must remain a working
+    # configuration (regression: the stepper once stored the computed
+    # accelerations into a None-acc state, breaking the scan carry).
+    n = 1024
+    pos, vel, mass = _bodies(n)
+    cfg = _cfg(rebuild_interval=2, group_size=64, advance_order=1)
+    step = make_window_step(cfg, n, substeps=3)
+    st = init_window_state(pos, vel, mass, cfg)
+    assert st.acc is None
+    st = step(st, jnp.float32(0.02))
+    assert np.isfinite(np.asarray(st.pos)).all()

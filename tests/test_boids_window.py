@@ -140,3 +140,70 @@ def test_mode_resolution_and_model():
     assert np.isfinite(p1).all()
     # Bounds respected (soft walls keep boids near the box).
     assert np.abs(p1).max() < flock.config.bounds * 1.2
+
+
+def test_frozen_orders_match_stateless_when_fresh():
+    # With freshly built orders the frozen-order production path and the
+    # stateless two-pass path see the identical pair set.
+    from spatialsim_tpu.models.boids import init_boids_window_state
+    from spatialsim_tpu.ops.boids_ops import flocking_forces_window_frozen
+    cfg = BoidsConfig(num_boids=4096, neighbor_mode="window",
+                      group_size=128, window_groups=2)
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(((rng.random((3, 4096)) - 0.5)
+                       * 2 * cfg.bounds), jnp.float32)
+    vel = jnp.asarray((rng.random((3, 4096)) - 0.5) * 10, jnp.float32)
+    col = jnp.asarray(rng.random((3, 4096)), jnp.float32)
+
+    kw = dict(perception_radius=cfg.perception_radius,
+              separation_radius=cfg.separation_radius,
+              separation_weight=cfg.separation_weight,
+              alignment_weight=cfg.alignment_weight,
+              cohesion_weight=cfg.cohesion_weight,
+              max_speed=cfg.max_speed, max_force=cfg.max_force)
+    f_ref, c_ref = flocking_forces_window(
+        pos, vel, col, cell_size=cfg.cell_size, grid_dim=cfg.grid_dim,
+        offset=cfg.bounds + cfg.cell_size, group_size=128,
+        window_groups=2, **kw)
+
+    st = init_boids_window_state(pos, vel, col, cfg)
+    f_s, c_s = flocking_forces_window_frozen(
+        st.pos, st.vel, st.col, st.p21, st.s21, group_size=128,
+        window_groups=2, **kw)
+    np.testing.assert_allclose(np.asarray(f_s[:, st.inv1]),
+                               np.asarray(f_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c_s[:, st.inv1]),
+                               np.asarray(c_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_frozen_orders_capture_survives_resort_interval():
+    # Step the production (frozen-order) flock to the END of a re-sort
+    # interval, then compare its captured-pair count against fresh
+    # orders at the same positions: staleness must cost < 1%.
+    from spatialsim_tpu.models.boids import (
+        Flock, init_boids_window_state)
+    from spatialsim_tpu.ops.boids_ops import (
+        flocking_forces_window_frozen, build_boids_orders)
+    cfg = BoidsConfig(num_boids=8192, neighbor_mode="window",
+                      group_size=128, window_groups=2, resort_interval=6)
+    flock = Flock(config=cfg, seed=2)
+    for _ in range(6):               # ends just before the re-sort fires
+        flock.update(1.0 / 60.0)
+    st = flock.state
+    assert int(st.steps_since) == 6
+
+    kw = dict(perception_radius=cfg.perception_radius,
+              separation_radius=cfg.separation_radius,
+              separation_weight=cfg.separation_weight,
+              alignment_weight=cfg.alignment_weight,
+              cohesion_weight=cfg.cohesion_weight,
+              max_speed=cfg.max_speed, max_force=cfg.max_force)
+    _, _, nb_stale = flocking_forces_window_frozen(
+        st.pos, st.vel, st.col, st.p21, st.s21, group_size=128,
+        window_groups=2, return_counts=True, **kw)
+    fresh = init_boids_window_state(st.pos, st.vel, st.col, cfg)
+    _, _, nb_fresh = flocking_forces_window_frozen(
+        fresh.pos, fresh.vel, fresh.col, fresh.p21, fresh.s21,
+        group_size=128, window_groups=2, return_counts=True, **kw)
+    captured = float(jnp.sum(nb_stale)) / max(float(jnp.sum(nb_fresh)), 1.0)
+    assert captured >= 0.99, captured
