@@ -79,6 +79,11 @@ def bench_nbody(n, theta, steps, warmup, chain, distribution, engine,
     if engine == "window":
         from spatialsim_tpu.ops.bh_window import init_window_state
         state = init_window_state(pos, vel, mass, cfg)
+        # Warmup must cross a rebuild so BOTH device programs compile
+        # outside the timed region (above HOST_SCHEDULED_THRESHOLD the
+        # rebuild is a separate jit that first fires at steps_since >=
+        # rebuild_interval).
+        warmup = max(warmup, rebuild_interval // max(chain, 1) + 1)
     else:
         state = NBodyState(pos=pos, vel=vel, mass=mass)
     dt = jnp.float32(0.02)

@@ -80,6 +80,10 @@ def main():
     e = np.asarray(exact, np.float64)
     mag = np.linalg.norm(e, axis=0)
     err = np.linalg.norm(a - e, axis=0) / np.maximum(mag, 1e-12)
+    # Per-body relative error explodes where the NET force nearly cancels
+    # (cluster centres); the rms-normalized variant divides by the rms
+    # force magnitude instead (the tests' convention).
+    err_n = np.linalg.norm(a - e, axis=0) / np.sqrt((mag ** 2).mean())
     print(json.dumps({
         "n": n, "depth": args.depth, "budget": args.budget,
         "list_cap": args.list_cap, "gsz": args.group_size,
@@ -87,6 +91,9 @@ def main():
         "err_median": float(np.median(err)),
         "err_p99": float(np.percentile(err, 99)),
         "err_rms": float(np.sqrt((err ** 2).mean())),
+        "relrms_median": float(np.median(err_n)),
+        "relrms_p99": float(np.percentile(err_n, 99)),
+        "relrms_rms": float(np.sqrt((err_n ** 2).mean())),
     }), flush=True)
 
 

@@ -89,12 +89,14 @@ class NBodyConfig:
     # per-program pipeline overhead (~15 ms across 3907 single-group
     # programs at 1M bodies, measured).
     eval_groups_per_program: int = 4
-    # Frozen-entry advance order between rebuilds: 2 (default) stores the
-    # per-cell mean acceleration at build and advances entries as
+    # Frozen-entry advance order between rebuilds: 2 stores the per-cell
+    # mean acceleration at build and advances entries as
     # com + v·τ + a·τ²/2; 1 is the ballistic advance, whose ½|a|τ² error
     # dominates stale-list force error in high-curvature cores (measured
-    # 23% rms at 1M, τ=24 — scripts/staleness_scan.py).
-    advance_order: int = 2
+    # 23% rms at 1M, τ=24 — scripts/staleness_scan.py).  0 = auto: 2 up
+    # to 4M bodies, 1 beyond — the 16-row far tensor at 10M (5.1 GB)
+    # exceeds what this image's TPU compile helper can build.
+    advance_order: int = 0
     # Curvature horizon (steps) for the quadratic term: past this the
     # frozen acceleration has rotated with the orbit and extrapolating
     # tau^2 overshoots (measured at 1M: better than ballistic to ~tau 30,
@@ -131,6 +133,8 @@ def resolve_config(config: NBodyConfig, n: int) -> NBodyConfig:
         kw["group_size"] = 256 if n <= 4_000_000 else 1024
     if config.list_capacity == 0:
         kw["list_capacity"] = 6144 if n <= 4_000_000 else 8192
+    if config.advance_order == 0:
+        kw["advance_order"] = 2 if n <= 4_000_000 else 1
     return config.replace(**kw) if kw else config
 
 

@@ -7,10 +7,12 @@ of ``gpp`` groups:
 * each program evaluates ``gpp`` consecutive Morton groups (batching
   amortizes the per-program dispatch/pipeline overhead — at 1M bodies a
   grid of 3907 single-group programs left ~15 ms of fixed cost);
-* the group's own bodies arrive transposed ``(gpp*gsz, 8)`` (bodies on
-  sublanes), the window arrives as ``gpp + 2*wg`` lanes-major ``(8,
-  gsz)`` block views of the padded sorted array — group j reads views
-  j..j+2wg, so no transposes and no overlap duplication;
+* everything stays lanes-major: the window arrives as ``gpp + 2*wg``
+  ``(8, gsz)`` block views of the padded sorted array, group j's own
+  bodies ARE view j+wg (one small in-kernel transpose puts targets on
+  sublanes), and the output is written ``(8, gpp*gsz)`` — a bodies-major
+  ``(npad, 8)`` array would pad 8 -> 128 lanes, a 16x HBM blowup that
+  OOMs at 10M bodies;
 * far entries stream from a per-group row of the ``(gpp, R, L)`` VMEM
   block in tiles, and the tile loop is bounded by the group's ACTUAL
   entry count (scalar prefetch) — padding tiles are skipped, not masked;
@@ -79,7 +81,7 @@ def _pair_accum_quad(xi, yi, zi, xj, yj, zj, mj, q6, soft_sq):
             jnp.sum(cw * dz - inv5 * qdz, axis=1, keepdims=True))
 
 
-def _eval_kernel(far_n_ref, shared_n_ref, gpos_ref, *rest, soft_sq, G, gsz,
+def _eval_kernel(far_n_ref, shared_n_ref, *rest, soft_sq, G, gsz,
                  far_tile, n_views, gpp, wg, supergroup):
     window_refs = rest[:n_views]
     far_ref = rest[n_views]
@@ -92,13 +94,20 @@ def _eval_kernel(far_n_ref, shared_n_ref, gpos_ref, *rest, soft_sq, G, gsz,
     for j in range(gpp):
         g = p * gpp + j
         base = j * gsz
+        # Group j's own bodies are window view j+wg (no separate
+        # bodies-major input: an (npad, 8) layout pads 8 -> 128 lanes on
+        # TPU — a 16x HBM blowup that OOMs at 10M bodies).  One (8, gsz)
+        # -> (gsz, 8) transpose per group puts targets on sublanes.
+        tgt = window_refs[j + wg][:].T                 # (gsz, 8)
         # Sub-tile the i (target body) dimension so the (i, source)
-        # pairwise intermediates stay within VMEM for large group sizes.
-        iblk = min(gsz, 512)
+        # pairwise intermediates stay within VMEM for large group sizes
+        # (the (iblk, W) temporaries are the kernel's VMEM high-water
+        # mark; at gsz 1024 an iblk of 512 overflows the Mosaic budget).
+        iblk = min(gsz, 512 if gsz <= 512 else 256)
         for i0 in range(0, gsz, iblk):
-            xi = gpos_ref[base + i0:base + i0 + iblk, 0:1]
-            yi = gpos_ref[base + i0:base + i0 + iblk, 1:2]
-            zi = gpos_ref[base + i0:base + i0 + iblk, 2:3]
+            xi = tgt[i0:i0 + iblk, 0:1]
+            yi = tgt[i0:i0 + iblk, 1:2]
+            zi = tgt[i0:i0 + iblk, 2:3]
 
             ax = jnp.zeros((iblk, 1), jnp.float32)
             ay = jnp.zeros((iblk, 1), jnp.float32)
@@ -144,9 +153,8 @@ def _eval_kernel(far_n_ref, shared_n_ref, gpos_ref, *rest, soft_sq, G, gsz,
                                    shared_n_ref[g // supergroup],
                                    (ax, ay, az))
 
-            out_ref[base + i0:base + i0 + iblk, :] = jnp.concatenate(
-                [ax * G, ay * G, az * G,
-                 jnp.zeros((iblk, 5), jnp.float32)], axis=1)
+            acc3 = jnp.concatenate([ax * G, ay * G, az * G], axis=1)
+            out_ref[0:3, base + i0:base + i0 + iblk] = acc3.T  # (3, iblk)
 
 
 @functools.partial(
@@ -200,20 +208,19 @@ def pallas_window_eval(s_pos, s_mass, far4, far_n, shared4, shared_n, *,
         [s_pos, s_mass[None, :], jnp.zeros((4, npad), jnp.float32)], axis=0)
     # Window source array padded by wg zero-mass groups on each side (plus
     # the group-axis padding), then sliced to the local range + halos.
+    # Targets are NOT passed separately: group j of a program is window
+    # view j+wg — a bodies-major (npad, 8) input would pad 8 -> 128 lanes
+    # (16x HBM, OOM at 10M bodies).
     pos8_winpad = jax.lax.dynamic_slice_in_dim(
         jnp.pad(pos8, ((0, 0), (wg * gsz, (wg + gpad) * gsz))),
         offset * gsz, (ng2 + 2 * wg) * gsz, axis=1)
-    gpos_t = jax.lax.dynamic_slice_in_dim(
-        jnp.pad(pos8, ((0, 0), (0, gpad * gsz))),
-        offset * gsz, ng2 * gsz, axis=1).T       # (ng2*gsz, 8) bodies-major
     if gpad:
         far4 = jnp.pad(far4, ((0, gpad), (0, 0), (0, 0)))
         far_n = jnp.pad(far_n, (0, gpad))
 
     n_views = gpp + 2 * wg
     # Index maps receive (grid index, scalar-prefetch refs) — ignored.
-    in_specs = [pl.BlockSpec((gpp * gsz, 8), lambda g, *_: (g, 0),
-                             memory_space=pltpu.VMEM)]
+    in_specs = []
     for k in range(n_views):
         in_specs.append(pl.BlockSpec(
             (8, gsz), (lambda g, *_, k=k: (0, g * gpp + k)),
@@ -228,12 +235,12 @@ def pallas_window_eval(s_pos, s_mass, far4, far_n, shared4, shared_n, *,
         num_scalar_prefetch=2,
         grid=(ng2 // gpp,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((gpp * gsz, 8), lambda g, *_: (g, 0),
+        out_specs=pl.BlockSpec((8, gpp * gsz), lambda g, *_: (0, g),
                                memory_space=pltpu.VMEM),
     )
 
-    def kernel(far_n_ref, shared_n_ref, gpos_ref, *rest):
-        _eval_kernel(far_n_ref, shared_n_ref, gpos_ref, *rest,
+    def kernel(far_n_ref, shared_n_ref, *rest):
+        _eval_kernel(far_n_ref, shared_n_ref, *rest,
                      soft_sq=soft_sq, G=float(G), gsz=gsz,
                      far_tile=far_tile, n_views=n_views, gpp=gpp, wg=wg,
                      supergroup=S)
@@ -244,13 +251,13 @@ def pallas_window_eval(s_pos, s_mass, far4, far_n, shared4, shared_n, *,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ng2 * gsz, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, ng2 * gsz), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=int(ng) * gsz * (n_window * gsz * 17
                                    + (L + Ls) * flops_far),
             bytes_accessed=ng * gsz * 8 * 4 + ng * R * L * 4,
             transcendentals=int(ng) * gsz * (n_window * gsz + L + Ls)),
         interpret=interpret,
-    )(far_n, shared_n, gpos_t, *([pos8_winpad] * n_views), far4, shared4)
+    )(far_n, shared_n, *([pos8_winpad] * n_views), far4, shared4)
 
-    return out[:ng * gsz, :3].T
+    return out[:3, :ng * gsz]

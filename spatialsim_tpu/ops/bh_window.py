@@ -323,6 +323,20 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
             jnp.stack(wl_sizes))
 
 
+def _auto_budget(npad: int) -> int:
+    """Auto worklist budget: 4.2 visited pairs per body, capped.
+
+    The cap is 6M up to 4M bodies and 10M beyond: the 10M Plummer
+    cluster's second-deepest level demands 8.85M pairs, and saturating it
+    (budget 6M) folds near-core mass coarsely enough to push the median
+    force error to 13.6% (vs ~0.4% unfolded); a 14M budget runs out of
+    HBM in the full step.  At 10M only the FINAL level folds, which is
+    the gentle case (measured 2026-08-17, scripts/nbody_error.py).
+    """
+    budget = max(262_144, int(4.2 * npad))
+    return min(budget, 6_000_000 if npad <= 4_200_000 else 10_000_000)
+
+
 def _default_wl_caps(ng: int, n_levels: int, budget: int, c0: int = 64):
     """Per-level worklist capacities.
 
@@ -404,7 +418,7 @@ def build_lists(pos, vel, mass, acc=None, *, theta, softening, skin=4.0,
         bbox_min = jax.lax.dynamic_slice_in_dim(bbox_min, group_offset, ng)
         bbox_max = jax.lax.dynamic_slice_in_dim(bbox_max, group_offset, ng)
 
-    budget = worklist_budget or min(6_000_000, max(262_144, int(4.2 * npad)))
+    budget = worklist_budget or _auto_budget(npad)
     wl_caps = _default_wl_caps(ng, n_levels, budget,
                                c0=tree.levels[0].code.shape[0])
     far, far_n, sl_start, sl_end, sl_n, res, _wl = _traverse_global(
@@ -809,14 +823,31 @@ def _build_kw(config):
                 quadrupole=quad)
 
 
-def make_window_step(config, n: int, substeps: int = 1):
-    """Jitted production step with in-graph rebuild policy.
+# Above this body count the step splits into two device programs with the
+# rebuild scheduled from the host: this image's TPU compile helper cannot
+# build the combined rebuild+eval-chain program at 10M-body shapes (each
+# half compiles fine on its own).
+HOST_SCHEDULED_THRESHOLD = 4_000_000
 
-    Rebuilds when ``steps_since >= rebuild_interval`` OR any body drifted
-    more than ``skin/2`` since the last build (Verlet-list safety).
+
+def make_window_step(config, n: int, substeps: int = 1):
+    """Production step with rebuild policy: (state, dt) -> state.
+
+    Up to :data:`HOST_SCHEDULED_THRESHOLD` bodies this is ONE jitted
+    program with the rebuild decision in-graph (``lax.cond`` per
+    substep).  Beyond it, :func:`_make_host_scheduled_step` returns a
+    host callable closing over two jits (rebuild, eval chain) — the
+    rebuild then happens at frame boundaries (the recorder's natural
+    cadence), up to ``substeps-1`` steps later than the in-graph policy
+    would fire it.
+
+    Rebuilds when ``steps_since >= rebuild_interval`` OR (drift mode
+    "max") any body drifted more than ``skin/2`` since the last build.
     """
     from spatialsim_tpu.config.nbody import resolve_config
     config = resolve_config(config, n)
+    if n > HOST_SCHEDULED_THRESHOLD:
+        return _make_host_scheduled_step(config, n, substeps)
     kw = _build_kw(config)
     ekw = dict(G=config.G, softening=config.softening,
                group_size=config.group_size,
@@ -869,6 +900,70 @@ def make_window_step(config, n: int, substeps: int = 1):
         return state
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+def _make_host_scheduled_step(config, n: int, substeps: int):
+    """Two-program step for EXTREME scales (see make_window_step).
+
+    The rebuild check runs on the host before each frame (a scalar
+    ``steps_since`` read; drift mode adds one tiny max-reduction), so
+    each device program stays within the compile helper's limits.
+    ``config`` is already resolved.
+    """
+    import numpy as np
+
+    kw = _build_kw(config)
+    ekw = dict(G=config.G, softening=config.softening,
+               group_size=config.group_size,
+               window_groups=config.window_groups,
+               use_pallas=getattr(config, "use_pallas_eval", True),
+               far_tile=getattr(config, "eval_far_tile", 512),
+               quadrupole=getattr(config, "use_quadrupole", False),
+               tau_clamp=float(getattr(config, "advance_tau_clamp", 24)),
+               gpp=getattr(config, "eval_groups_per_program", 4))
+    damping = config.damping
+    interval = config.rebuild_interval
+    skin = config.skin
+    drift_mode = getattr(config, "rebuild_drift_mode", "max")
+    advance2 = getattr(config, "advance_order", 2) >= 2
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def rebuild(state: WindowBHState):
+        lists = state.lists
+        pos2, vel2, mass2, nl = _resort_state(
+            state.pos, state.vel, state.mass, lists.order,
+            lists.inv_order, kw, acc=state.acc if advance2 else None)
+        return WindowBHState(pos2, vel2, mass2, nl, state.acc)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def chain(state: WindowBHState, dt):
+        def body(carry, _):
+            pos, vel, acc_prev, ss = carry
+            # The entry advance needs tau to grow per substep.
+            lists_i = state.lists._replace(steps_since=ss)
+            acc = eval_accel_sorted(lists_i, pos, state.mass, dt, **ekw)
+            pos, vel = integrate(pos, vel, acc, dt, damping)
+            return (pos, vel, acc if advance2 else None, ss + 1), None
+        (pos, vel, acc, ss), _ = jax.lax.scan(
+            body, (state.pos, state.vel, state.acc,
+                   state.lists.steps_since), None, length=substeps)
+        lists = state.lists._replace(steps_since=ss)
+        return WindowBHState(pos, vel, state.mass, lists, acc)
+
+    @jax.jit
+    def max_drift(pos, ref):
+        return jnp.max(jnp.abs(pos - ref))
+
+    def step(state: WindowBHState, dt):
+        need = int(state.lists.steps_since) >= interval
+        if not need and drift_mode == "max":
+            need = float(max_drift(state.pos, state.lists.ref_pos)) \
+                > skin * 0.5
+        if need:
+            state = rebuild(state)
+        return chain(state, dt)
+
+    return step
 
 
 def _resort_state(pos, vel, mass, prev_order, prev_inv, kw, acc=None):
@@ -940,8 +1035,7 @@ def build_diagnostics(pos, vel, mass, config):
     pad = npad - n
     n_levels = max_depth - 2 + 1
     ng = npad // gsz
-    budget = kw["worklist_budget"] or min(6_000_000,
-                                          max(262_144, int(4.2 * npad)))
+    budget = kw["worklist_budget"] or _auto_budget(npad)
     wl_caps = _default_wl_caps(ng, n_levels, budget,
                                c0=level_capacity(2, npad))
 

@@ -39,12 +39,13 @@ from spatialsim_tpu.io.session import STATE_INTERVAL
 RECORD_MAX_SPEED_COLOR = 15.0
 
 # TPU throughput anchor for the wall-clock estimator, measured on a v5e
-# chip (sustained, incl. list rebuilds): ~6 steps/s at 1M bodies theta=0.8.
-# The reference anchors the same model at 70 ms/step @100K on CPU
-# (tools/record.py:993-1017); both scale by n*log n and (theta0/theta)^2.
+# chip (sustained, incl. list rebuilds): ~10.6 steps/s at 1M bodies
+# theta=0.8 (BENCH_r02).  The reference anchors the same model at
+# 70 ms/step @100K on CPU (tools/record.py:993-1017); both scale by
+# n*log n and (theta0/theta)^2.
 _EST_ANCHOR_N = 1_000_000
 _EST_ANCHOR_THETA = 0.8
-_EST_ANCHOR_STEP_S = 1.0 / 6.0
+_EST_ANCHOR_STEP_S = 1.0 / 10.6
 
 
 def estimate_recording_time(config: dict) -> float:

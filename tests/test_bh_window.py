@@ -277,3 +277,29 @@ def test_ballistic_advance_order_still_steps():
     assert st.acc is None
     st = step(st, jnp.float32(0.02))
     assert np.isfinite(np.asarray(st.pos)).all()
+
+
+def test_host_scheduled_step_matches_in_graph(monkeypatch):
+    # The EXTREME-scale two-program split (host-scheduled rebuild) must
+    # match the in-graph policy exactly at substeps=1 (the rebuild check
+    # runs before every step in both).
+    import spatialsim_tpu.ops.bh_window as bw
+    n = 2048
+    pos, vel, mass = _bodies(n, seed=13)
+    cfg = _cfg(rebuild_interval=3, group_size=64,
+               rebuild_drift_mode="off")
+    dt = jnp.float32(0.02)
+
+    ref_step = make_window_step(cfg, n, substeps=1)
+    ref = init_window_state(pos, vel, mass, cfg)
+
+    monkeypatch.setattr(bw, "HOST_SCHEDULED_THRESHOLD", 0)
+    host_step = bw.make_window_step(cfg, n, substeps=1)
+    st = init_window_state(jnp.copy(pos), jnp.copy(vel), jnp.copy(mass),
+                           cfg)
+    for _ in range(8):                    # crosses two rebuilds
+        ref = ref_step(ref, dt)
+        st = host_step(st, dt)
+    assert int(st.lists.steps_since) == int(ref.lists.steps_since)
+    np.testing.assert_allclose(np.asarray(st.pos), np.asarray(ref.pos),
+                               rtol=1e-5, atol=1e-5)

@@ -22,6 +22,20 @@ requires_8 = pytest.mark.skipif(len(jax.devices()) < 8,
                                 reason="needs 8 virtual devices")
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache():
+    # jax's persistent-cache serializer segfaults writing this module's
+    # big shard_map executables late in a full-suite process (observed
+    # deterministically at jax/_src/compilation_cache.py:
+    # put_executable_and_time; config flags did not gate the write in
+    # this jax build).  Stub the write out — reads stay enabled.
+    from jax._src import compilation_cache as cc
+    mp = pytest.MonkeyPatch()
+    mp.setattr(cc, "put_executable_and_time", lambda *a, **k: None)
+    yield
+    mp.undo()
+
+
 def _state(n, seed=0, dist="galaxy"):
     p, v, m = distributions.generate_distribution(dist, n, 200.0, 0.1,
                                                   seed=seed)
