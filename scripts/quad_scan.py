@@ -96,7 +96,9 @@ def main():
                                G=cfg.G, softening=cfg.softening,
                                group_size=cfg.group_size,
                                window_groups=cfg.window_groups,
-                               use_pallas=True))
+                               use_pallas=True,
+                               quadrupole=cfg.use_quadrupole,
+                               tau_clamp=float(cfg.advance_tau_clamp)))
         a = np.asarray(acc[:, idx], np.float64)
         e = np.asarray(exact, np.float64)
         mag = np.linalg.norm(e, axis=0)

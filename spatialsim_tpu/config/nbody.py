@@ -106,7 +106,8 @@ class NBodyConfig:
     # degrades entries to bounded-error monopoles/residuals.  Rebuild
     # cost is proportional to the STATIC caps (not the fill), so the
     # budget is sized to measured demand + headroom.
-    # 0 = auto (min(6M, max(256K, 4.2*npad))).
+    # 0 = auto: max(256K, 4.2*npad), capped at 6M up to 4.2M bodies and
+    # at 10M beyond (ops/bh_window._auto_budget).
     worklist_budget: int = 0
 
     # dt cap applied inside the simulation step (reference simulation.py:802).

@@ -149,8 +149,10 @@ def _eval_kernel(far_n_ref, shared_n_ref, *rest, soft_sq, G, gsz,
                 return jax.lax.fori_loop(0, n_tiles, tile_body, carry)
 
             ax, ay, az = list_loop(far_ref, j, far_n_ref[g], (ax, ay, az))
-            ax, ay, az = list_loop(shared_ref, 0,
-                                   shared_n_ref[g // supergroup],
+            # Clamp the supergroup index: zero-padded tail groups (g >= ng)
+            # would otherwise read one slot past the (nsg,) count array.
+            sg = jnp.minimum(g // supergroup, shared_n_ref.shape[0] - 1)
+            ax, ay, az = list_loop(shared_ref, 0, shared_n_ref[sg],
                                    (ax, ay, az))
 
             acc3 = jnp.concatenate([ax * G, ay * G, az * G], axis=1)
@@ -201,8 +203,15 @@ def pallas_window_eval(s_pos, s_mass, far4, far_n, shared4, shared_n, *,
     soft_sq = float(softening) ** 2
     S = supergroup
     gpp = max(1, min(groups_per_program, S))
+    # gpp must DIVIDE the supergroup size: the shared BlockSpec fetches one
+    # row per program at (g*gpp)//S, so a program whose groups straddle two
+    # supergroups would read the wrong shared entries.  Shrink to the
+    # largest divisor (S is small; this loop is compile-time).
+    while S % gpp:
+        gpp -= 1
     ng2 = ((ng + gpp - 1) // gpp) * gpp
     gpad = ng2 - ng
+    nsg = shared4.shape[0]
 
     pos8 = jnp.concatenate(
         [s_pos, s_mass[None, :], jnp.zeros((4, npad), jnp.float32)], axis=0)
@@ -228,7 +237,8 @@ def pallas_window_eval(s_pos, s_mass, far4, far_n, shared4, shared_n, *,
     in_specs.append(pl.BlockSpec((gpp, R, L), lambda g, *_: (g, 0, 0),
                                  memory_space=pltpu.VMEM))
     in_specs.append(pl.BlockSpec(
-        (1, Rs, Ls), lambda g, *_: ((g * gpp) // S, 0, 0),
+        (1, Rs, Ls), lambda g, *_: (jnp.minimum((g * gpp) // S, nsg - 1),
+                                    0, 0),
         memory_space=pltpu.VMEM))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -326,7 +326,7 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
 def _auto_budget(npad: int) -> int:
     """Auto worklist budget: 4.2 visited pairs per body, capped.
 
-    The cap is 6M up to 4M bodies and 10M beyond: the 10M Plummer
+    The cap is 6M up to 4.2M bodies and 10M beyond: the 10M Plummer
     cluster's second-deepest level demands 8.85M pairs, and saturating it
     (budget 6M) folds near-core mass coarsely enough to push the median
     force error to 13.6% (vs ~0.4% unfolded); a 14M budget runs out of

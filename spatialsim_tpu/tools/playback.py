@@ -151,10 +151,12 @@ def headless_playback(name: str, snapshot_every: int = 0,
 
 
 def interactive_playback(name: str, fps: float = 60.0, speed: float = 1.0,
-                         loop: bool = True, max_frames: int = 0) -> int:
+                         loop: bool = True, max_frames: int = 0,
+                         stats: Optional[dict] = None) -> int:
     """pygame/OpenGL viewer; requires a display (or an offscreen SDL
     driver).  ``max_frames`` > 0 exits after that many rendered frames
-    (the headless GL smoke-test hook)."""
+    (the headless GL smoke-test hook); ``stats`` (if given) receives
+    counters, e.g. ``hud_draws``."""
     rec_dir = session.get_recording_dir(name, create=False)
     meta = session.load_metadata(rec_dir)
     src = FrameSource(rec_dir)
@@ -188,10 +190,13 @@ def interactive_playback(name: str, fps: float = 60.0, speed: float = 1.0,
 
     cam = PlaybackCamera(radius=meta.get("spawn_radius", 500.0) * 1.6)
     clock = pygame.time.Clock()
+    from spatialsim_tpu.apps.world import TextRenderer
+    hud = TextRenderer(size=16)
     playhead = 0.0
     paused = False
     running = True
     rendered = 0
+    hud_draws = 0
     while running:
         if max_frames and rendered >= max_frames:
             break
@@ -244,8 +249,19 @@ def interactive_playback(name: str, fps: float = 60.0, speed: float = 1.0,
         glDrawArrays(GL_POINTS, 0, len(pos))
         glDisableClientState(GL_COLOR_ARRAY)
         glDisableClientState(GL_VERTEX_ARRAY)
+        # HUD overlay: frame counter / speed / FPS / loop status every
+        # frame (reference tools/playback.py:442-466).
+        status = "||" if paused else ">"
+        line = (f"{status} Frame {int(playhead) + 1}/{src.total} | "
+                f"Speed: {speed:.1f}x | FPS: {clock.get_fps():.0f}"
+                + (" | loop" if loop else ""))
+        hud.draw_text(line, 10, 10, window_size=(w, h))
+        hud_draws += 1
         pygame.display.flip()
     src.stop()
+    if stats is not None:
+        stats["hud_draws"] = hud_draws
+        stats["rendered"] = rendered
     pygame.quit()
     return 0
 

@@ -38,26 +38,40 @@ from spatialsim_tpu.io.session import STATE_INTERVAL
 
 RECORD_MAX_SPEED_COLOR = 15.0
 
-# TPU throughput anchor for the wall-clock estimator, measured on a v5e
-# chip (sustained, incl. list rebuilds): ~10.6 steps/s at 1M bodies
-# theta=0.8 (BENCH_r02).  The reference anchors the same model at
-# 70 ms/step @100K on CPU (tools/record.py:993-1017); both scale by
-# n*log n and (theta0/theta)^2.
+# TPU throughput anchors for the wall-clock estimator, measured on a v5e
+# chip (sustained, incl. list rebuilds).  The reference anchors one CPU
+# model at 70 ms/step @100K (tools/record.py:993-1017) regardless of
+# backend; here the anchor follows the ENGINE the model will actually
+# pick (models/nbody.resolve_engine): Pallas all-pairs below the
+# threshold (dispatch-floor dominated at TINY sizes), the windowed BH
+# engine above it (n*log n from the measured 1M sustained rate).
 _EST_ANCHOR_N = 1_000_000
 _EST_ANCHOR_THETA = 0.8
 _EST_ANCHOR_STEP_S = 1.0 / 10.6
+# Per-step dispatch/transfer floor (any engine, tiny N) and all-pairs
+# pair rate; calibrated against a TINY 10K run (scripts/eval_bench.py).
+_EST_STEP_FLOOR_S = 0.004
+_EST_ALLPAIRS_PAIRS_PER_S = 1.2e12
 
 
 def estimate_recording_time(config: dict) -> float:
-    """Rough wall-clock estimate (seconds) for a preset recording."""
+    """Engine-aware wall-clock estimate (seconds) for a preset recording."""
     import math
+    from spatialsim_tpu.config.nbody import NBodyConfig
     n = int(config["num_bodies"])
     theta = float(config.get("theta", 0.8))
     steps = int(config["total_frames"]) * int(config.get("substeps", 1))
-    scale = (n * math.log(max(n, 2))) / (
-        _EST_ANCHOR_N * math.log(_EST_ANCHOR_N))
-    theta_scale = (_EST_ANCHOR_THETA / theta) ** 2
-    return steps * _EST_ANCHOR_STEP_S * scale * theta_scale
+    if n <= NBodyConfig().allpairs_threshold:
+        # All-pairs Pallas engine: n^2 pair rate with a dispatch floor.
+        step_s = max(_EST_STEP_FLOOR_S,
+                     n * n / _EST_ALLPAIRS_PAIRS_PER_S)
+    else:
+        scale = (n * math.log(max(n, 2))) / (
+            _EST_ANCHOR_N * math.log(_EST_ANCHOR_N))
+        theta_scale = (_EST_ANCHOR_THETA / theta) ** 2
+        step_s = max(_EST_STEP_FLOOR_S,
+                     _EST_ANCHOR_STEP_S * scale * theta_scale)
+    return steps * step_s
 
 
 def config_from_preset(preset: dict) -> NBodyConfig:
@@ -249,6 +263,93 @@ def record(config: dict, resume: bool = False) -> None:
               f"--resume {config['session_name']}")
 
 
+def select_preset_interactive(input_fn=input) -> Optional[dict]:
+    """Preset menu with per-field overrides and a confirm step.
+
+    Mirrors the reference's interactive flow
+    (``/root/reference/tools/record.py:1020-1113``): select by index,
+    show the config, prompt for bodies/frames/theta overrides (Enter
+    keeps the preset value; theta clamped to 0.1-2.0), re-estimate the
+    wall clock, confirm before returning.  ``input_fn`` is injectable for
+    tests.  Returns None on quit/EOF.
+    """
+    presets_lib.print_preset_menu()
+    max_idx = len(presets_lib.get_preset_list()) - 1
+    while True:
+        try:
+            choice = input_fn("\n  Selection: ").strip().lower()
+        except (EOFError, KeyboardInterrupt):
+            print("\n  Cancelled.")
+            return None
+        if choice in ("q", "quit", "exit", ""):
+            print("\n  Cancelled.")
+            return None
+        try:
+            idx = int(choice)
+        except ValueError:
+            print(f"  Invalid input. Enter a number 0-{max_idx} or 'q'.")
+            continue
+        key, preset = presets_lib.get_preset_by_index(idx)
+        if key is None:
+            print(f"  Invalid selection. Enter 0-{max_idx} or 'q' to quit.")
+            continue
+        config = presets_lib.get_preset_config(key)
+        print(f"\n  Selected: [{idx}] {preset.get('name', key)}")
+        print(f"  Distribution: {config['distribution']}")
+        print(f"  Bodies: {config['num_bodies']:,}")
+        print(f"  Frames: {config['total_frames']}")
+        print(f"  Theta: {config['theta']}")
+        print("\n  --- Optional Overrides (press Enter to skip) ---")
+        try:
+            raw = input_fn(f"  Bodies [{config['num_bodies']:,}]: ").strip()
+            if raw:
+                try:
+                    val = presets_lib.parse_number(raw)
+                    if val > 0:
+                        config["num_bodies"] = val
+                        print(f"    -> Bodies set to {val:,}")
+                except ValueError:
+                    print(f"    -> Invalid, keeping {config['num_bodies']:,}")
+            raw = input_fn(f"  Frames [{config['total_frames']}]: ").strip()
+            if raw:
+                try:
+                    val = int(raw)
+                    if val > 0:
+                        config["total_frames"] = val
+                        print(f"    -> Frames set to {val}")
+                except ValueError:
+                    print(f"    -> Invalid, keeping {config['total_frames']}")
+            raw = input_fn(f"  Theta [{config['theta']}]: ").strip()
+            if raw:
+                try:
+                    val = float(raw)
+                    if 0.1 <= val <= 2.0:
+                        config["theta"] = val
+                        print(f"    -> Theta set to {val}")
+                    else:
+                        print(f"    -> Theta must be 0.1-2.0, keeping "
+                              f"{config['theta']}")
+                except ValueError:
+                    print(f"    -> Invalid, keeping {config['theta']}")
+        except (EOFError, KeyboardInterrupt):
+            print("\n  Cancelled.")
+            return None
+        est = estimate_recording_time(config)
+        print("\n  --- Final Configuration ---")
+        print(f"  Bodies: {config['num_bodies']:,}")
+        print(f"  Frames: {config['total_frames']}")
+        print(f"  Theta: {config['theta']}")
+        print(f"  Estimated time: ~{format_time(est)}")
+        try:
+            confirm = input_fn("\n  Start recording? [Y/n]: ").strip().lower()
+        except (EOFError, KeyboardInterrupt):
+            print("\n  Cancelled.")
+            return None
+        if confirm in ("", "y", "yes"):
+            return config
+        presets_lib.print_preset_menu()
+
+
 def print_status() -> None:
     rows = list_recordings()
     if not rows:
@@ -344,18 +445,9 @@ def main(argv=None) -> int:
             return 1
         config = presets_lib.get_preset_config(key)
     else:
-        # Interactive menu (reference record.py:1020-1113).
-        presets_lib.print_preset_menu()
-        try:
-            choice = input("\nPreset> ").strip()
-        except EOFError:
-            return 1
-        if choice.lower() in ("q", "quit", ""):
+        config = select_preset_interactive()
+        if config is None:
             return 0
-        key, _ = presets_lib.get_preset_by_index(int(choice))
-        if key is None:
-            return 1
-        config = presets_lib.get_preset_config(key)
 
     # CLI overrides (precedence: preset < flag; reference :1263-1281).
     if args.bodies:

@@ -145,3 +145,42 @@ def test_record_with_window_engine(rec_env):
     assert sim2.engine == "window"
     sim2.step_raw(0.1)
     assert np.isfinite(sim2.get_positions()).all()
+
+
+def test_interactive_menu_overrides(capsys):
+    """Preset menu prompts for bodies/frames/theta and confirms
+    (reference tools/record.py:1020-1113)."""
+    answers = iter(["1", "50k", "77", "1.1", "y"])
+    cfg = record_tool.select_preset_interactive(
+        input_fn=lambda _prompt: next(answers))
+    assert cfg is not None
+    assert cfg["num_bodies"] == 50_000
+    assert cfg["total_frames"] == 77
+    assert cfg["theta"] == 1.1
+    out = capsys.readouterr().out
+    assert "Final Configuration" in out and "Estimated time" in out
+
+
+def test_interactive_menu_rejects_and_quits(capsys):
+    # Invalid theta keeps preset value; 'n' at confirm reprints the menu;
+    # 'q' quits with None.
+    answers = iter(["0", "", "", "9.9", "n", "q"])
+    cfg = record_tool.select_preset_interactive(
+        input_fn=lambda _prompt: next(answers))
+    assert cfg is None
+    out = capsys.readouterr().out
+    assert "Theta must be 0.1-2.0" in out
+
+
+def test_estimate_is_engine_aware():
+    # TINY presets run the all-pairs engine: the n*log n window anchor
+    # would predict ~100x too little; the floor keeps it sane.
+    tiny = record_tool.estimate_recording_time(
+        {"num_bodies": 10_000, "theta": 0.8, "total_frames": 100,
+         "substeps": 1})
+    assert tiny >= 100 * record_tool._EST_STEP_FLOOR_S
+    big = record_tool.estimate_recording_time(
+        {"num_bodies": 1_000_000, "theta": 0.8, "total_frames": 100,
+         "substeps": 1})
+    assert big == pytest.approx(100 * record_tool._EST_ANCHOR_STEP_S,
+                                rel=0.01)

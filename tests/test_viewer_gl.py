@@ -85,8 +85,11 @@ def test_interactive_playback_draws_frames(tmp_path):
         os.environ.pop("SPATIALSIM_RECORDINGS", None)
     proc = _run_gl(
         "from spatialsim_tpu.tools.playback import interactive_playback\n"
-        "rc = interactive_playback('glsmoke', fps=120.0, max_frames=5)\n"
+        "stats = {}\n"
+        "rc = interactive_playback('glsmoke', fps=120.0, max_frames=5,\n"
+        "                          stats=stats)\n"
         "assert rc == 0\n"
+        "assert stats['hud_draws'] == stats['rendered'] > 0, stats\n"
         "print('PLAYBACK_GL_OK')\n",
         extra_env={"SPATIALSIM_RECORDINGS": str(tmp_path)})
     assert proc.returncode == 0, proc.stderr[-3000:]
