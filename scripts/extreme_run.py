@@ -1,0 +1,134 @@
+"""EXTREME-scale execution evidence: init, step, error sample, HBM log.
+
+The reference's headline claim is 50M bodies offline
+(`/root/reference/README.md:3`, EXTREME presets
+`/root/reference/tools/presets.py:2352-2584`, theta 1.2-1.5).  This
+script runs the window engine at 10M/20M/50M for a short burst and
+prints the numbers that make the claim checkable here: steps/s, sampled
+force error vs a direct-sum oracle, list/worklist saturation, and HBM
+headroom.
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/extreme_run.py \
+           [n] [steps] [theta]
+Defaults mirror the reference's EXTREME ladder: theta 1.2 at 10M,
+1.4 at 20M, 1.5 at 50M (tools/presets.py:2352-2584).
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spatialsim_tpu.config.nbody import NBodyConfig, resolve_config
+from spatialsim_tpu import distributions
+from spatialsim_tpu.ops.bh_window import (
+    init_window_state, make_window_step)
+
+
+def default_theta(n):
+    if n >= 50_000_000:
+        return 1.5
+    if n >= 20_000_000:
+        return 1.4
+    return 1.2
+
+
+def hbm_stats():
+    try:
+        st = jax.devices()[0].memory_stats()
+        return (f"HBM {st['bytes_in_use'] / 1e9:.1f} / "
+                f"{st.get('bytes_limit', 0) / 1e9:.1f} GB in use")
+    except Exception:  # noqa: BLE001
+        return "HBM stats unavailable"
+
+
+def main():
+    n = int(float(sys.argv[1])) if len(sys.argv) > 1 else 20_000_000
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    theta = float(sys.argv[3]) if len(sys.argv) > 3 else default_theta(n)
+
+    cfg = resolve_config(NBodyConfig(
+        num_bodies=n, theta=theta, G=0.08, softening=3.0, damping=1.0,
+        spawn_radius=700.0, distribution="cluster", engine="window",
+        rebuild_drift_mode="off"), n)
+    print(f"n={n:,} theta={theta} depth={cfg.max_depth} "
+          f"gsz={cfg.group_size} L={cfg.list_capacity} "
+          f"interval={cfg.rebuild_interval} adv={cfg.advance_order} "
+          f"platform={jax.devices()[0].platform}", flush=True)
+
+    t0 = time.perf_counter()
+    p, v, m = distributions.generate_distribution(
+        "cluster", n, cfg.spawn_radius, cfg.G, seed=0)
+    pos = jnp.asarray(p.T, jnp.float32)
+    vel = jnp.asarray(v.T, jnp.float32)
+    mass = jnp.asarray(m, jnp.float32)
+    del p, v, m
+    print(f"init conditions: {time.perf_counter() - t0:.0f} s", flush=True)
+
+    t0 = time.perf_counter()
+    state = init_window_state(pos, vel, mass, cfg)
+    jax.block_until_ready(state.pos)
+    print(f"first build: {time.perf_counter() - t0:.0f} s | {hbm_stats()}",
+          flush=True)
+
+    # Oracle sample BEFORE stepping (fresh lists): force error on 1024
+    # random bodies vs direct sum over all n.
+    rng = np.random.default_rng(1)
+    idx = jnp.asarray(np.sort(rng.choice(n, 1024, replace=False)))
+    tgt = pos[:, idx]
+
+    @jax.jit
+    def exact_at(tgt, pos, mass):
+        soft_sq = cfg.softening ** 2
+
+        def one(t):
+            d = pos - t[:, None]
+            dist_sq = jnp.sum(d * d, axis=0) + soft_sq
+            inv = jax.lax.rsqrt(dist_sq)
+            w = jnp.where(dist_sq > soft_sq,
+                          (cfg.G * mass) * inv * inv * inv, 0.0)
+            return jnp.sum(w * d, axis=1)
+        return jax.vmap(one, in_axes=1, out_axes=1)(tgt)
+
+    from spatialsim_tpu.ops.bh_window import eval_accel
+    acc_bh = eval_accel(
+        state.lists, pos, mass, jnp.float32(0.0), G=cfg.G,
+        softening=cfg.softening, group_size=cfg.group_size,
+        window_groups=cfg.window_groups,
+        quadrupole=cfg.use_quadrupole)
+    a = np.asarray(acc_bh[:, idx], np.float64)
+    e = np.asarray(exact_at(tgt, pos, mass), np.float64)
+    mag = np.linalg.norm(e, axis=0)
+    err = np.linalg.norm(a - e, axis=0) / np.maximum(mag, 1e-12)
+    print(f"force error (fresh lists, 1024 samples): "
+          f"median={np.median(err):.4f} p99={np.percentile(err, 99):.4f} "
+          f"rms={np.sqrt((err ** 2).mean()):.4f}", flush=True)
+    del acc_bh, a, e, tgt
+
+    step = make_window_step(cfg, n, substeps=1)
+    dt = jnp.float32(0.015)
+    state = step(state, dt)           # warm the chain (compile)
+    np.asarray(state.pos[0, :1])
+    print(f"step compiled | {hbm_stats()}", flush=True)
+
+    t0 = time.perf_counter()
+    for k in range(steps):
+        state = step(state, dt)
+        if (k + 1) % 10 == 0:
+            np.asarray(state.pos[0, :1])
+            el = time.perf_counter() - t0
+            print(f"  step {k + 1}/{steps}: {el / (k + 1) * 1000:.0f} "
+                  f"ms/step ({(k + 1) / el:.2f} steps/s)", flush=True)
+    np.asarray(state.pos[0, :1])
+    el = time.perf_counter() - t0
+    print(f"sustained: {steps / el:.2f} steps/s "
+          f"({el / steps * 1000:.0f} ms/step) over {steps} steps | "
+          f"{hbm_stats()}", flush=True)
+    assert np.isfinite(np.asarray(state.pos[:, :1000])).all()
+    print("state finite OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

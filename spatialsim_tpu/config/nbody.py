@@ -93,9 +93,10 @@ class NBodyConfig:
     # mean acceleration at build and advances entries as
     # com + v·τ + a·τ²/2; 1 is the ballistic advance, whose ½|a|τ² error
     # dominates stale-list force error in high-curvature cores (measured
-    # 23% rms at 1M, τ=24 — scripts/staleness_scan.py).  0 = auto: 2 up
-    # to 4M bodies, 1 beyond — the 16-row far tensor at 10M (5.1 GB)
-    # exceeds what this image's TPU compile helper can build.
+    # 23% rms at 1M, τ=24 — scripts/staleness_scan.py).  0 = auto: 2 at
+    # every scale (the 10-row acc-only far layout keeps the tensor at
+    # ~3.2 GB for the 10M EXTREME shape, vs 5.1 GB for the old padded
+    # 16-row layout that forced order 1 beyond 4M).
     advance_order: int = 0
     # Curvature horizon (steps) for the quadratic term: past this the
     # frozen acceleration has rotated with the orbit and extrapolating
@@ -135,7 +136,7 @@ def resolve_config(config: NBodyConfig, n: int) -> NBodyConfig:
     if config.list_capacity == 0:
         kw["list_capacity"] = 6144 if n <= 4_000_000 else 8192
     if config.advance_order == 0:
-        kw["advance_order"] = 2 if n <= 4_000_000 else 1
+        kw["advance_order"] = 2
     return config.replace(**kw) if kw else config
 
 

@@ -81,6 +81,86 @@ def _pair_accum_quad(xi, yi, zi, xj, yj, zj, mj, q6, soft_sq):
             jnp.sum(cw * dz - inv5 * qdz, axis=1, keepdims=True))
 
 
+def _mxu_accum(tgt_c, ti_sq, src_c, m_row, wp, ws, soft_sq):
+    """MXU-form monopole accumulation of sources onto targets.
+
+    a_i = G·(Σ_j w_ij·s_j − p_i·Σ_j w_ij) with w = m/dist³ — both
+    contractions ride the MXU, leaving ~8 VPU ops/pair vs the 17 of the
+    direct-difference form (the measured eval is VPU-bound).  dist² uses
+    |p|² + |s|² − 2p·s on GROUP-CENTRED coordinates (f32-safe; the cross
+    term runs at precision HIGHEST so no bf16 truncation enters).  The
+    reference's self/coincident-pair gate (nbody/simulation.py:245,260)
+    is algebraically built in: a w_ij with s_j == p_i contributes
+    exactly 0 to wp − p·ws.
+
+    tgt_c (iblk, 3); ti_sq (iblk, 1); src_c (3, S); m_row (1, S).
+    Returns updated (wp (iblk, 3), ws (iblk, 1)).
+    """
+    hi = jax.lax.Precision.HIGHEST
+    ps_sq = jnp.sum(src_c * src_c, axis=0, keepdims=True)       # (1, S)
+    cross = jax.lax.dot_general(
+        tgt_c, src_c, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi)       # (iblk, S)
+    d2 = ti_sq + ps_sq - 2.0 * cross + soft_sq
+    inv = jax.lax.rsqrt(jnp.maximum(d2, soft_sq))
+    w = m_row * (inv * inv * inv)                               # (iblk, S)
+    wp = wp + jax.lax.dot_general(
+        w, src_c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi)       # (iblk, 3)
+    ws = ws + jnp.sum(w, axis=1, keepdims=True)
+    return wp, ws
+
+
+def _eval_kernel_mxu(far_n_ref, shared_n_ref, *rest, soft_sq, G, gsz,
+                     far_tile, n_views, gpp, wg, supergroup):
+    """MXU variant of :func:`_eval_kernel` (monopole lists only)."""
+    window_refs = rest[:n_views]
+    far_ref = rest[n_views]
+    shared_ref = rest[n_views + 1]
+    out_ref = rest[n_views + 2]
+
+    p = pl.program_id(0)
+    n_window = 2 * wg + 1
+
+    for j in range(gpp):
+        g = p * gpp + j
+        base = j * gsz
+        tgt8 = window_refs[j + wg][:]                  # (8, gsz)
+        center = jnp.mean(tgt8[0:3, :], axis=1, keepdims=True)  # (3, 1)
+        iblk = min(gsz, 512)
+        for i0 in range(0, gsz, iblk):
+            tgt_c = (tgt8[0:3, i0:i0 + iblk] - center).T        # (iblk, 3)
+            ti_sq = jnp.sum(tgt_c * tgt_c, axis=1, keepdims=True)
+            wp = jnp.zeros((iblk, 3), jnp.float32)
+            ws = jnp.zeros((iblk, 1), jnp.float32)
+
+            for k in range(n_window):
+                wref = window_refs[j + k]
+                wp, ws = _mxu_accum(tgt_c, ti_sq, wref[0:3, :] - center,
+                                    wref[3:4, :], wp, ws, soft_sq)
+
+            def list_loop(ref, row, count, carry):
+                tile = min(far_tile, ref.shape[2])
+                n_tiles = (count + tile - 1) // tile
+
+                def tile_body(t, carry):
+                    wp, ws = carry
+                    off = pl.multiple_of(t * tile, tile)
+                    src_c = ref[row, 0:3, pl.ds(off, tile)] - center
+                    fm = ref[row, 3:4, pl.ds(off, tile)]
+                    return _mxu_accum(tgt_c, ti_sq, src_c, fm, wp, ws,
+                                      soft_sq)
+
+                return jax.lax.fori_loop(0, n_tiles, tile_body, carry)
+
+            wp, ws = list_loop(far_ref, j, far_n_ref[g], (wp, ws))
+            sg = jnp.minimum(g // supergroup, shared_n_ref.shape[0] - 1)
+            wp, ws = list_loop(shared_ref, 0, shared_n_ref[sg], (wp, ws))
+
+            acc3 = (wp - tgt_c * ws) * G                        # (iblk, 3)
+            out_ref[0:3, base + i0:base + i0 + iblk] = acc3.T
+
+
 def _eval_kernel(far_n_ref, shared_n_ref, *rest, soft_sq, G, gsz,
                  far_tile, n_views, gpp, wg, supergroup):
     window_refs = rest[:n_views]
@@ -163,11 +243,11 @@ def _eval_kernel(far_n_ref, shared_n_ref, *rest, soft_sq, G, gsz,
     jax.jit,
     static_argnames=("G", "softening", "group_size", "window_groups",
                      "far_tile", "supergroup", "local_slice",
-                     "groups_per_program"))
+                     "groups_per_program", "haloed"))
 def pallas_window_eval(s_pos, s_mass, far4, far_n, shared4, shared_n, *,
                        G, softening, group_size=512, window_groups=3,
                        far_tile=512, supergroup=1, local_slice=None,
-                       groups_per_program=4):
+                       groups_per_program=4, haloed=False):
     """Fused near-window + far-list (+ supergroup-shared) accelerations.
 
     Args:
@@ -188,6 +268,11 @@ def pallas_window_eval(s_pos, s_mass, far4, far_n, shared4, shared_n, *,
       groups_per_program: groups evaluated by one Pallas program (clamped
         to the supergroup size so the shared row stays constant within a
         program; the group axis is zero-padded to a multiple).
+      haloed: static — ``s_pos``/``s_mass`` already carry ``window_groups``
+        halo groups on EACH side of the evaluated range (the sharded
+        step's ppermute halo exchange); ``far4``/``far_n`` cover only the
+        interior groups and the output is the interior shard.  Mutually
+        exclusive with ``local_slice``.
     Returns:
       ``(3, n_groups * group_size)`` f32 accelerations in sorted order
       (the full ``npad`` when ``local_slice`` is None).
@@ -195,7 +280,11 @@ def pallas_window_eval(s_pos, s_mass, far4, far_n, shared4, shared_n, *,
     gsz = group_size
     wg = window_groups
     npad = s_pos.shape[1]
-    offset, ng = local_slice or (0, npad // gsz)
+    if haloed:
+        assert local_slice is None
+        offset, ng = 0, npad // gsz - 2 * wg
+    else:
+        offset, ng = local_slice or (0, npad // gsz)
     R = far4.shape[1]
     L = far4.shape[2]
     Rs = shared4.shape[1]
@@ -220,9 +309,14 @@ def pallas_window_eval(s_pos, s_mass, far4, far_n, shared4, shared_n, *,
     # Targets are NOT passed separately: group j of a program is window
     # view j+wg — a bodies-major (npad, 8) input would pad 8 -> 128 lanes
     # (16x HBM, OOM at 10M bodies).
-    pos8_winpad = jax.lax.dynamic_slice_in_dim(
-        jnp.pad(pos8, ((0, 0), (wg * gsz, (wg + gpad) * gsz))),
-        offset * gsz, (ng2 + 2 * wg) * gsz, axis=1)
+    if haloed:
+        # Input already carries its halos; only the group-axis padding.
+        pos8_winpad = (jnp.pad(pos8, ((0, 0), (0, gpad * gsz)))
+                       if gpad else pos8)
+    else:
+        pos8_winpad = jax.lax.dynamic_slice_in_dim(
+            jnp.pad(pos8, ((0, 0), (wg * gsz, (wg + gpad) * gsz))),
+            offset * gsz, (ng2 + 2 * wg) * gsz, axis=1)
     if gpad:
         far4 = jnp.pad(far4, ((0, gpad), (0, 0), (0, 0)))
         far_n = jnp.pad(far_n, (0, gpad))
@@ -249,11 +343,16 @@ def pallas_window_eval(s_pos, s_mass, far4, far_n, shared4, shared_n, *,
                                memory_space=pltpu.VMEM),
     )
 
+    # MXU form for pure-monopole lists (the production configuration);
+    # quadrupole (R == 16) keeps the direct-difference VPU kernel (its
+    # Q·d math has no matmul shape).
+    body = _eval_kernel if R > 4 else _eval_kernel_mxu
+
     def kernel(far_n_ref, shared_n_ref, *rest):
-        _eval_kernel(far_n_ref, shared_n_ref, *rest,
-                     soft_sq=soft_sq, G=float(G), gsz=gsz,
-                     far_tile=far_tile, n_views=n_views, gpp=gpp, wg=wg,
-                     supergroup=S)
+        body(far_n_ref, shared_n_ref, *rest,
+             soft_sq=soft_sq, G=float(G), gsz=gsz,
+             far_tile=far_tile, n_views=n_views, gpp=gpp, wg=wg,
+             supergroup=S)
 
     interpret = jax.default_backend() != "tpu"
     flops_far = 40 if R > 4 else 17

@@ -53,13 +53,27 @@ from spatialsim_tpu.ops.octree import build_octree
 from spatialsim_tpu.ops.integrator import integrate
 
 
+def far_layout(n_rows: int):
+    """(quadrupole?, acc_row_offset | None) from a far tensor's row count.
+
+    Layouts: 8 = [com3, v3, m, pad] monopole; 10 adds mean acceleration
+    (rows 7:10); 13 = monopole + traceless quadrupole (7:13); 16 = both
+    (q 7:13, acc 13:16).  The 10-row acc-only layout is what makes the
+    second-order advance affordable at EXTREME scale: the 16-row tensor
+    at 10M bodies is 5.1 GB of which 6 rows were zero-filled Q padding.
+    """
+    quad = n_rows in (13, 16)
+    acc0 = (13 if quad else 7) if n_rows in (10, 16) else None
+    return quad, acc0
+
+
 class BHLists(NamedTuple):
     """Amortized interaction structure (all shapes static)."""
 
     order: jax.Array        # (Npad,) int32 sorted slot -> ORIGINAL body id
     inv_order: jax.Array    # (N,) int32 original id -> sorted slot
-    # far rows: 8 = [com0 xyz, v0 xyz, m, 0] plain monopole; 16 adds the
-    # traceless quadrupole (rows 7:13) and/or mean acceleration (13:16).
+    # far rows: see far_layout() — 8 plain monopole, 10 with mean
+    # acceleration, 13 with traceless quadrupole, 16 with both.
     far: jax.Array          # (ng, R, L) f32
     far_n: jax.Array        # (ng,) int32 actual entry counts
     shared: jax.Array       # (nsg, R, Ls) f32 supergroup-shared entries
@@ -82,6 +96,39 @@ def _exclusive_cumsum(x):
 SLIVER_CAP = 64  # >= 4 emissions/level x levels; deterministic bound
 
 
+def _pack_levels(tree, quadrupole, with_acc):
+    """Per-level packed attribute tensors for single-gather traversal.
+
+    XLA's random-access cost on this chip is per-INDEX, not per-element
+    (measured scripts/gather_bench.py: a 16-row (R, C)[:, idx] gather
+    costs the same ~15 ns/index as one column) — so the traversal's ~14
+    separate column gathers per worklist slot were the round-2 rebuild
+    wall (~210 ns/slot x 7.6M slots ~ 1.6 s at 1M bodies).  Pack every
+    per-cell attribute into one (R, C) f32 array: rows [com3, vel3, mass,
+    (traceless Q6), (acc3), count, body_start, child_start, child_count]
+    with the int rows bitcast to f32 (lossless).  The traceless
+    conversion 3*M2 - tr(M2)*I happens here once per CELL instead of per
+    visited (group, cell) pair.
+    """
+    packed = []
+    for lv in tree.levels:
+        rows = [lv.com[0], lv.com[1], lv.com[2],
+                lv.vel[0], lv.vel[1], lv.vel[2], lv.mass]
+        if quadrupole:
+            tr = lv.m2[0] + lv.m2[1] + lv.m2[2]
+            rows += [3.0 * lv.m2[0] - tr, 3.0 * lv.m2[1] - tr,
+                     3.0 * lv.m2[2] - tr, 3.0 * lv.m2[3],
+                     3.0 * lv.m2[4], 3.0 * lv.m2[5]]
+        if with_acc:
+            rows += [lv.acc[0], lv.acc[1], lv.acc[2]]
+        ints = jnp.stack([lv.count, lv.body_start, lv.child_start,
+                          lv.child_count])
+        packed.append(jnp.concatenate(
+            [jnp.stack(rows),
+             jax.lax.bitcast_convert_type(ints, jnp.float32)], axis=0))
+    return packed
+
+
 def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
                      gsz, window_groups, list_cap, n_levels, wl_caps,
                      group_offset=0, quadrupole=False, with_acc=False):
@@ -97,15 +144,21 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
     generous) folds entries into a per-group mass-conserving residual
     monopole instead of dropping them.
 
+    Memory-op budget per slot (the whole cost model — scripts/
+    gather_bench.py): ONE packed attribute gather (~15 ns), ONE packed
+    bounds gather, the emission value scatters (~5 ns/column) and the
+    child-run reconstruction; everything else is vector math.
+
     Returns (far_vals (ng, L, 8), far_n, sl_start, sl_end, sl_n).
     """
     levels = tree.levels
+    packed_levels = _pack_levels(tree, quadrupole, with_acc)
     theta_sq = theta * theta
     L = list_cap
     n_cols = 7 + (6 if quadrupole else 0) + (3 if with_acc else 0)
     n_res = 10 if with_acc else 7
-    bbox_min = (bbox_min - skin).T              # (3, ng)
-    bbox_max = (bbox_max + skin).T
+    # (6, ng) packed bounds: rows [min3 - skin, max3 + skin].
+    bounds = jnp.concatenate([(bbox_min - skin).T, (bbox_max + skin).T])
 
     # Columnar storage throughout: (W,) and (ng*L,) flat vectors only.
     # Row-major (W, k) arrays tile as T(8,128) on TPU and pad the tiny
@@ -151,27 +204,21 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
         active = (jnp.arange(W) < wl_n) & (wl_c >= 0)
         cidx = jnp.clip(wl_c, 0, lv.code.shape[0] - 1)
         gidx = jnp.clip(wl_g, 0, ng - 1)
-        ccom = lv.com[:, cidx]                     # (3, W)
-        cvel = lv.vel[:, cidx]
-        cmass = jnp.where(active, lv.mass[cidx], 0.0)
-        ccount = jnp.where(active, lv.count[cidx], 0)
-        cstart = jnp.where(active, lv.body_start[cidx], 0)
+        # ONE packed gather for every per-cell attribute (see _pack_levels).
+        A = packed_levels[li][:, cidx]             # (n_cols + 4, W)
+        ccom = A[0:3]
+        cvel = A[3:6]
+        ci = jax.lax.bitcast_convert_type(A[n_cols:n_cols + 4], jnp.int32)
+        cmass = jnp.where(active, A[6], 0.0)
+        ccount = jnp.where(active, ci[0], 0)
+        cstart = jnp.where(active, ci[1], 0)
         cend = cstart + ccount
-        # Columnar entry values: [cx, cy, cz, vx, vy, vz, mass] plus, with
-        # quadrupoles, the 6 traceless components Q = 3·M2 − tr(M2)·I
-        # (rows qxx, qyy, qzz, qxy, qxz, qyz), converted here once at
-        # emission so the per-step eval never touches raw moments.
-        vals = (ccom[0], ccom[1], ccom[2], cvel[0], cvel[1], cvel[2],
-                cmass)
-        if quadrupole:
-            cm2 = lv.m2[:, cidx]                   # (6, W)
-            tr = cm2[0] + cm2[1] + cm2[2]
-            vals = vals + (3.0 * cm2[0] - tr, 3.0 * cm2[1] - tr,
-                           3.0 * cm2[2] - tr, 3.0 * cm2[3],
-                           3.0 * cm2[4], 3.0 * cm2[5])
-        if with_acc:
-            cacc = lv.acc[:, cidx]                 # (3, W)
-            vals = vals + (cacc[0], cacc[1], cacc[2])
+        # Columnar entry values [cx, cy, cz, vx, vy, vz, mass (, q6) (,
+        # acc3)] are the packed rows themselves (mass re-gated to 0 for
+        # inactive slots); the traceless quadrupole was converted once per
+        # cell at pack time.
+        vals = (A[0], A[1], A[2], A[3], A[4], A[5], cmass) \
+            + tuple(A[i] for i in range(7, n_cols))
 
         # Window bounds in GLOBAL body indices (gidx is local to this
         # shard; group_offset maps it to the global group id).
@@ -181,8 +228,9 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
         straddle = active & ~in_window & (cstart < hi) & (cend > lo)
         outside = active & ~in_window & ~straddle
 
-        gmin = bbox_min[:, gidx]
-        gmax = bbox_max[:, gidx]
+        B = bounds[:, gidx]                        # (6, W) one gather
+        gmin = B[0:3]
+        gmax = B[3:6]
         gap = jnp.maximum(gmin - ccom, ccom - gmax)
         gap = jnp.maximum(gap, 0.0)
         dmin_sq = jnp.sum(gap * gap, axis=0) + soft_sq
@@ -259,7 +307,7 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
 
         if not last:
             W_next = wl_caps[li + 1]
-            cc0 = jnp.where(open_, lv.child_count[cidx], 0)
+            cc0 = jnp.where(open_, ci[3], 0)
             base0 = jnp.cumsum(cc0) - cc0
             # Worklist overflow: whole entries degrade (values/slivers).
             ovf = open_ & (base0 + cc0 > W_next)
@@ -283,7 +331,7 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
             has = cc > 0
             ridx = jnp.cumsum(has.astype(jnp.int32)) - has
             rpos = jnp.where(has, ridx, W)
-            cs = lv.child_start[cidx]
+            cs = ci[2]
             run_cs = jnp.zeros((W,), jnp.int32).at[rpos].set(
                 cs, mode="drop")
             run_g = jnp.full((W,), ng, jnp.int32).at[rpos].set(
@@ -298,25 +346,20 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
             slot = jnp.arange(W_next, dtype=jnp.int32)
             wl_n = base[-1] + cc[-1]
             live = slot < wl_n
-            wl_c = jnp.where(live, run_cs[seg] + (slot - run_base[seg]),
-                             -1)
-            wl_g = jnp.where(live, run_g[seg], ng)
+            runs = jnp.stack([run_cs, run_g, run_base])
+            R3 = runs[:, seg]                          # one packed gather
+            wl_c = jnp.where(live, R3[0] + (slot - R3[2]), -1)
+            wl_g = jnp.where(live, R3[1], ng)
             wl_sizes.append(wl_n)
 
     # Assemble the (ng, R, L) eval tensor (entries on the minor/lane dim).
-    # R = 8 rows plain monopole; 16 when quadrupole and/or acceleration
-    # columns exist — fixed layout [com3, v3, m, q6, a3] with absent
-    # segments zero-filled, so downstream row indices are stable.
+    # Rows are exactly the emitted columns (see far_layout): 8 plain
+    # monopole (one pad row), 10 with acc, 13 with quadrupole, 16 both —
+    # no zero-filled placeholder segments.
     grid = [fc.reshape(ng, L) for fc in far_cols]
-    zero = jnp.zeros((ng, L), jnp.float32)
-    if quadrupole or with_acc:
-        rows = grid[:7]
-        rows += grid[7:13] if quadrupole else [zero] * 6
-        rows += grid[13:16] if (quadrupole and with_acc) else (
-            grid[7:10] if with_acc else [zero] * 3)
-    else:
-        rows = grid + [zero]
-    far = jnp.stack(rows, axis=1)                             # (ng, R, L)
+    if n_cols == 7:
+        grid.append(jnp.zeros((ng, L), jnp.float32))
+    far = jnp.stack(grid, axis=1)                             # (ng, R, L)
     res = jnp.stack(res_cols, axis=1)                         # (ng, 7|10)
     return (far, far_n, sl_start.reshape(ng, SLIVER_CAP),
             sl_end.reshape(ng, SLIVER_CAP), sl_n, res,
@@ -439,14 +482,14 @@ def _finish_lists(far, far_n, sl_start, sl_end, sl_n, res, shared, shared_n,
                   s_acc=None):
     """Sliver moments + residual entry + BHLists assembly.
 
-    ``far``/``shared`` use the (groups, R, entries) layout — R = 8 rows
-    [com xyz, v xyz, m, 0] monopole, 16 with the traceless quadrupole in
-    rows 7:13 and/or the mean acceleration in rows 13:16.  Slivers and
-    the residual stay monopole in Q (mass-conserving fallbacks) but do
-    carry mean velocity/acceleration so they advance like other entries.
+    ``far``/``shared`` use the (groups, R, entries) layout with R per
+    :func:`far_layout` (8/10/13/16).  Slivers and the residual stay
+    monopole in Q (mass-conserving fallbacks) but do carry mean
+    velocity/acceleration so they advance like other entries.
     """
     ng, n_rows = far.shape[0], far.shape[1]
     with_acc = s_acc is not None
+    quad, acc0 = far_layout(n_rows)
 
     # Sliver moments (window-boundary fragments) from prefix sums; tiny
     # gather (ng x SLIVER_CAP x 2 x rows).
@@ -465,12 +508,12 @@ def _finish_lists(far, far_n, sl_start, sl_end, sl_n, res, shared, shared_n,
     sinv = jnp.where(sm > 0, 1.0 / jnp.maximum(sm, 1e-30), 0.0)
     srows = [seg[1] * sinv, seg[2] * sinv, seg[3] * sinv,
              seg[4] * sinv, seg[5] * sinv, seg[6] * sinv, sm]
-    if n_rows > 8:
+    if quad:
         srows += [jnp.zeros_like(sm)] * 6                # q rows
+    if acc0 is not None:
         srows += ([seg[7] * sinv, seg[8] * sinv, seg[9] * sinv]
                   if with_acc else [jnp.zeros_like(sm)] * 3)
-    else:
-        srows += [jnp.zeros_like(sm)] * (n_rows - 7)
+    srows += [jnp.zeros_like(sm)] * (n_rows - len(srows))  # pad row (R=8)
     svals = jnp.stack(srows, axis=1)                     # (ng, R, SC)
 
     # Append slivers to the far lists (slot list_cap-1 stays reserved for
@@ -488,7 +531,8 @@ def _finish_lists(far, far_n, sl_start, sl_end, sl_n, res, shared, shared_n,
                  jnp.sum(sv[0:3, :] * om[None, :], axis=1),
                  jnp.sum(sv[3:6, :] * om[None, :], axis=1)]
         if with_acc:
-            parts.append(jnp.sum(sv[13:16, :] * om[None, :], axis=1))
+            parts.append(jnp.sum(sv[acc0:acc0 + 3, :] * om[None, :],
+                                 axis=1))
         rs = rs + jnp.concatenate(parts)
         return fv, jnp.minimum(fn + sn, list_cap - 1), rs
     far, far_n, res = jax.vmap(append)(far, far_n, svals, sl_n, res)
@@ -499,12 +543,14 @@ def _finish_lists(far, far_n, sl_start, sl_end, sl_n, res, shared, shared_n,
     inv_m = jnp.where(has_res, 1.0 / jnp.maximum(res_m, 1e-30), 0.0)
     rparts = [res[:, 1:4] * inv_m[:, None], res[:, 4:7] * inv_m[:, None],
               res_m[:, None]]
-    if n_rows > 8:
+    if quad:
         rparts.append(jnp.zeros((ng, 6), jnp.float32))   # q rows
+    if acc0 is not None:
         rparts.append(res[:, 7:10] * inv_m[:, None] if with_acc
                       else jnp.zeros((ng, 3), jnp.float32))
-    else:
-        rparts.append(jnp.zeros((ng, n_rows - 7), jnp.float32))
+    done = sum(part.shape[1] for part in rparts)
+    if done < n_rows:
+        rparts.append(jnp.zeros((ng, n_rows - done), jnp.float32))
     res_entry = jnp.concatenate(rparts, axis=1)                 # (ng, R)
     far = far.at[:, :, list_cap - 1].set(
         jnp.where(has_res[:, None], res_entry, far[:, :, list_cap - 1]))
@@ -526,9 +572,10 @@ def far_eval_tensor(far, steps_since, dt, quadrupole=False,
                     tau_clamp=24.0):
     """Frozen entries advanced to the current step, in eval-kernel layout.
 
-    ``far`` is the stored ``(ng, R, L)`` tensor.  R == 8 holds [com3, v3,
-    m, 0] and advances ballistically (com + v·τ).  R == 16 holds [com3,
-    v3, m, q6, a3] and advances to SECOND order (com + v·τ + a·τ²/2) —
+    ``far`` is the stored ``(ng, R, L)`` tensor with R per
+    :func:`far_layout`.  Without acceleration rows entries advance
+    ballistically (com + v·τ); with them (R 10/16), to SECOND order
+    (com + v·τ + a·τ²/2) —
     the ballistic advance carries a ½|a|τ² position error that dominates
     stale-list force error in high-curvature cores (measured 23% rms at
     1M/τ=24, scripts/staleness_scan.py); the quadrupole stays frozen (its
@@ -541,8 +588,9 @@ def far_eval_tensor(far, steps_since, dt, quadrupole=False,
     the quad kernel would waste ~2.4x the far flops.
     """
     tau = steps_since.astype(jnp.float32) * dt
+    _, acc0 = far_layout(far.shape[1])
     fpos = far[:, 0:3, :] + far[:, 3:6, :] * tau
-    if far.shape[1] > 8:
+    if acc0 is not None:
         # Quadratic term with a clamped velocity correction: the frozen
         # acceleration decorrelates on the orbital-curvature timescale
         # (measured: helps 3-4x at tau<=24 steps, overshoots past ~48 —
@@ -550,7 +598,7 @@ def far_eval_tensor(far, steps_since, dt, quadrupole=False,
         # grows linearly instead of quadratically:
         # disp = a·tau²/2 (tau<=tau_c), a·tau_c·(tau - tau_c/2) beyond.
         tc = jnp.minimum(tau, jnp.float32(tau_clamp) * dt)
-        fpos = fpos + far[:, 13:16, :] * (tc * tau - 0.5 * tc * tc)
+        fpos = fpos + far[:, acc0:acc0 + 3, :] * (tc * tau - 0.5 * tc * tc)
     if quadrupole:
         ng, _, L = far.shape
         return jnp.concatenate(
@@ -671,21 +719,24 @@ def _eval_sorted_padded(lists: BHLists, s_pos, s_mass, dt, *, G, softening,
 
     tau = lists.steps_since.astype(jnp.float32) * dt
     far = lists.far
+    _, facc0 = far_layout(far.shape[1])
     far_pos = far[:, 0:3, :] + far[:, 3:6, :] * tau           # (ng, 3, L)
-    if far.shape[1] > 8:
+    if facc0 is not None:
         tcl = jnp.minimum(tau, jnp.float32(tau_clamp) * dt)
-        far_pos = far_pos + far[:, 13:16, :] * (tcl * tau - 0.5 * tcl * tcl)
+        far_pos = far_pos + far[:, facc0:facc0 + 3, :] * (
+            tcl * tau - 0.5 * tcl * tcl)
     far_pos_c = far_pos - center
     far_mass = far[:, 6, :]                                   # (ng, L)
     far_q = (far[:, 7:13, :] if quad
              else jnp.zeros((ng, 6, far.shape[2]), jnp.float32))
 
     shr = lists.shared
+    _, sacc0 = far_layout(shr.shape[1])
     shr_pos0 = shr[:, 0:3, :] + shr[:, 3:6, :] * tau
-    if shr.shape[1] > 8:
+    if sacc0 is not None:
         tcl = jnp.minimum(tau, jnp.float32(tau_clamp) * dt)
-        shr_pos0 = shr_pos0 + shr[:, 13:16, :] * (tcl * tau
-                                                  - 0.5 * tcl * tcl)
+        shr_pos0 = shr_pos0 + shr[:, sacc0:sacc0 + 3, :] * (
+            tcl * tau - 0.5 * tcl * tcl)
     shr_pos = jnp.repeat(shr_pos0, S_eff, axis=0)             # (ng, 3, Ls)
     shr_pos_c = shr_pos - center
     shr_mass = jnp.repeat(shr[:, 6, :], S_eff, axis=0)

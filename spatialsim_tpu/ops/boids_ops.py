@@ -117,9 +117,10 @@ def _window_pass(pos, vel, col, grp_prev, code, *, n, gsz, wg,
     pad = npad - n
     order_pad = jnp.concatenate(
         [order, jnp.broadcast_to(order[-1], (pad,))])
-    s_pos = pos[:, order_pad]
-    s_vel = vel[:, order_pad]
-    s_col = col[:, order_pad]
+    # One packed gather for all 9 state rows (per-index gather cost —
+    # scripts/gather_bench.py).
+    S = jnp.concatenate([pos, vel, col], axis=0)[:, order_pad]
+    s_pos, s_vel, s_col = S[0:3], S[3:6], S[6:9]
     # Padding slots: collapse onto a far-away point so they never count
     # as neighbours of real boids.
     pad_mask = (jnp.arange(npad) >= n)[None, :]
@@ -139,12 +140,16 @@ def _window_pass(pos, vel, col, grp_prev, code, *, n, gsz, wg,
     inv = jnp.zeros((n,), jnp.int32).at[order].set(
         jnp.arange(n, dtype=jnp.int32))
 
-    def unsort(a):
-        if a.ndim == 3:      # (ng, 3, gsz)
-            return jnp.moveaxis(a, 0, 1).reshape(3, npad)[:, inv]
-        return a.reshape(npad)[inv]                    # (ng, gsz)
-
-    return tuple(unsort(o) for o in outs) + (grp,)
+    # Unsort all 14 accumulator rows in one packed gather.
+    sep, sep_count, align, coh, csum, nb_count = outs
+    rows = jnp.concatenate(
+        [jnp.moveaxis(a, 0, 1).reshape(3, npad)
+         for a in (sep, align, coh, csum)]
+        + [sep_count.reshape(1, npad).astype(jnp.float32),
+           nb_count.reshape(1, npad).astype(jnp.float32)], axis=0)
+    A = rows[:, inv]                                   # (14, n)
+    return (A[0:3], A[12].astype(jnp.int32), A[3:6], A[6:9], A[9:12],
+            A[13].astype(jnp.int32), grp)
 
 
 def flocking_forces_window(pos, vel, col, *, cell_size, grid_dim, offset,
@@ -321,27 +326,35 @@ def flocking_forces_window_frozen(pos1, vel1, col1, p21_pad, s21, *,
     sep, sep_count, align, coh, csum, nb_count = map(flat, acc1)
 
     if second_pass:
+        # Both permutations run as ONE packed gather each way: XLA's
+        # random-access cost is per-INDEX, not per-element (measured
+        # scripts/gather_bench.py), so the 9 state rows ride one
+        # (9, npad)[:, p21] gather and the 14 accumulator rows one
+        # (14, npad)[:, s21] — round 2 paid ~15 separate gathers here
+        # (~16n memory ops/step, the boids wall at 100K).
         real2 = jnp.arange(npad) < n
-        s_pos2 = jnp.where(real2[None, :], s_pos1[:, p21_pad], 1e9)
-        s_vel2 = s_vel1[:, p21_pad]
-        s_col2 = s_col1[:, p21_pad]
+        P2 = jnp.concatenate([s_pos1, s_vel1, s_col1],
+                             axis=0)[:, p21_pad]              # (9, npad)
+        s_pos2 = jnp.where(real2[None, :], P2[0:3], 1e9)
+        s_vel2 = P2[3:6]
+        s_col2 = P2[6:9]
         g1f = jnp.where(real2, (p21_pad // gsz).astype(jnp.float32),
                         -1e9)[None, :]
         acc2 = _window_accumulate(s_pos2, s_vel2, s_col2, g1f, **kw)
 
-        def back(a):
-            # pass-2 accumulators -> pass-1 layout via the frozen inverse.
-            if a.ndim == 3:
-                return jnp.moveaxis(a, 0, 1).reshape(3, npad)[:, s21]
-            return a.reshape(npad)[s21]
-
-        sep2, sc2, al2, coh2, cs2, nc2 = map(back, acc2)
-        sep = sep + sep2
-        sep_count = sep_count + sc2
-        align = align + al2
-        coh = coh + coh2
-        csum = csum + cs2
-        nb_count = nb_count + nc2
+        sep2, sc2, al2, coh2, cs2, nc2 = acc2
+        rows2 = jnp.concatenate(
+            [jnp.moveaxis(a, 0, 1).reshape(3, npad)
+             for a in (sep2, al2, coh2, cs2)]
+            + [sc2.reshape(1, npad).astype(jnp.float32),
+               nc2.reshape(1, npad).astype(jnp.float32)], axis=0)
+        A = rows2[:, s21]                                     # (14, n)
+        sep = sep + A[0:3]
+        align = align + A[3:6]
+        coh = coh + A[6:9]
+        csum = csum + A[9:12]
+        sep_count = sep_count + A[12].astype(jnp.int32)
+        nb_count = nb_count + A[13].astype(jnp.int32)
 
     force, avg_col = _merge_and_steer(
         sep, sep_count, align, coh, csum, nb_count, pos1, vel1, col1,

@@ -190,10 +190,14 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
         device's group range (``group_offset`` into
         :func:`spatialsim_tpu.ops.bh_window.build_lists`);
       * interaction lists shard along the group axis;
-      * per substep: one ``all_gather`` of the sorted state (Morton
-        windows cross shard boundaries), fused Pallas eval of the local
-        group range — whose output IS this device's shard, so no second
-        collective and no permutation gathers;
+      * per substep: a ±``window_groups`` HALO EXCHANGE — two ppermute
+        hops carrying ``wg * group_size`` edge bodies each (the Morton
+        window is the only cross-shard data the eval needs), then the
+        fused Pallas eval in ``haloed`` mode, whose output IS this
+        device's shard.  Round 2 all_gathered the full state every
+        substep (>= 36 MB/substep at 1M over ICI); the halo is
+        ``2 * wg * gsz * 16`` bytes (~33 KB) regardless of N;
+      * full ``all_gather``s happen only inside the rebuild branch;
       * at rebuild: the state re-sorts and the slot -> original-body
         mapping composes, exactly as in the single-chip stepper.
 
@@ -232,16 +236,34 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
                    far_n_l, ref_l, steps_since, dt):
         dev = jax.lax.axis_index(axis)
 
+        halo = wg * gsz
+
         def substep(carry, _):
             (pos_l, vel_l, mass_l, acc_l, order, inv_order, far_l,
              far_n_l, ref_l, ss) = carry
-            pos_f = jax.lax.all_gather(pos_l, axis, axis=1, tiled=True)
-            vel_f = jax.lax.all_gather(vel_l, axis, axis=1, tiled=True)
-            mass_f = jax.lax.all_gather(mass_l, axis, tiled=True)
-            acc_f = (jax.lax.all_gather(acc_l, axis, axis=1, tiled=True)
-                     if advance2 else None)
+
+            # Halo exchange: each device ships its wg edge GROUPS (pos +
+            # mass packed into one 4-row ppermute per direction) to its
+            # Morton neighbours.  Non-cyclic: the outermost devices'
+            # missing halos arrive as zeros — zero mass, so they
+            # contribute nothing, exactly like the single-chip zero
+            # padding.
+            pm_l = jnp.concatenate([pos_l, mass_l[None, :]], axis=0)
+            from_left = jax.lax.ppermute(
+                pm_l[:, -halo:], axis,
+                [(i, i + 1) for i in range(D - 1)])
+            from_right = jax.lax.ppermute(
+                pm_l[:, :halo], axis,
+                [(i + 1, i) for i in range(D - 1)])
 
             def do_rebuild(args):
+                # Full gathers live only on this (rare) branch.
+                pos_f = jax.lax.all_gather(pos_l, axis, axis=1, tiled=True)
+                vel_f = jax.lax.all_gather(vel_l, axis, axis=1, tiled=True)
+                mass_f = jax.lax.all_gather(mass_l, axis, tiled=True)
+                acc_f = (jax.lax.all_gather(acc_l, axis, axis=1,
+                                            tiled=True)
+                         if advance2 else None)
                 nl = build_lists(pos_f, vel_f, mass_f, acc_f,
                                  group_offset=dev * ngl, n_groups=ngl,
                                  **kw)
@@ -255,16 +277,23 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
                 pos_l2 = pos_f[:, my]
                 vel_l2 = vel_f[:, my]
                 mass_l2 = mass_f[my]
-                # Full re-sorted arrays for this substep's eval (rebuild
-                # steps only; cheaper than a second all_gather per step).
-                full_pos = pos_f[:, o_real]
-                full_mass = mass_f[o_real]
+                # Haloed eval inputs sliced straight from the re-sorted
+                # full arrays (the pre-exchanged halos used the OLD
+                # layout).
+                pm_f = jnp.pad(
+                    jnp.concatenate(
+                        [pos_f[:, o_real], mass_f[o_real][None, :]],
+                        axis=0),
+                    ((0, 0), (halo, halo)))
+                pm_h = jax.lax.dynamic_slice_in_dim(
+                    pm_f, dev * nlb, nlb + 2 * halo, axis=1)
                 return (pos_l2, vel_l2, mass_l2, to_orig, inv_new,
-                        nl.far, nl.far_n, pos_l2, jnp.int32(0),
-                        full_pos, full_mass)
+                        nl.far, nl.far_n, pos_l2, jnp.int32(0), pm_h)
 
             def keep(args):
-                return args + (pos_f, mass_f)
+                pm_h = jnp.concatenate([from_left, pm_l, from_right],
+                                       axis=1)
+                return args + (pm_h,)
 
             need = ss >= interval
             if drift_mode == "max":
@@ -274,7 +303,7 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
                     jnp.max(jnp.abs(pos_l - ref_l)), axis)
                 need = need | (drift > skin * 0.5)
             (pos_l2, vel_l2, mass_l2, order2, inv2, far2, farn2, ref2,
-             ss2, s_pos, s_mass) = jax.lax.cond(
+             ss2, pm_h) = jax.lax.cond(
                 need, do_rebuild, keep,
                 (pos_l, vel_l, mass_l, order, inv_order, far_l, far_n_l,
                  ref_l, ss))
@@ -283,16 +312,14 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
             shared4 = jnp.zeros((1, far4.shape[1], 128), jnp.float32)
             shared_n = jnp.zeros((1,), jnp.int32)
 
-            # Pallas needs a static group offset: one branch per device.
-            # The local slice's output is exactly this device's sorted
-            # shard — integrate directly, no collective needed.
-            acc_l = jax.lax.switch(dev, [
-                (lambda d=d: pallas_window_eval(
-                    s_pos, s_mass, far4, farn2, shared4, shared_n,
-                    G=Gf, softening=config.softening, group_size=gsz,
-                    window_groups=wg, supergroup=ngl,
-                    local_slice=(d * ngl, ngl)))
-                for d in range(D)])
+            # Haloed eval: inputs are purely local (+halos), so one
+            # kernel serves every device (round 2 needed a lax.switch
+            # over D compiled offsets) and the output IS this device's
+            # sorted shard — integrate directly, no collective.
+            acc_l = pallas_window_eval(
+                pm_h[0:3], pm_h[3], far4, farn2, shared4, shared_n,
+                G=Gf, softening=config.softening, group_size=gsz,
+                window_groups=wg, supergroup=ngl, haloed=True)
 
             pos3, vel3 = integrate(pos_l2, vel_l2, acc_l, dt, damping)
             acc_carry = acc_l if advance2 else None
