@@ -48,7 +48,7 @@ def _sync(x):
 
 def bench_nbody(n, theta, steps, warmup, chain, distribution, engine,
                 group_size, depth, list_cap, skin, rebuild_interval,
-                drift_mode, verbose=False):
+                drift_mode, refresh_interval=0, verbose=False):
     """Sustained steps/s with `chain` physics steps per device dispatch."""
     import jax
     import jax.numpy as jnp
@@ -62,6 +62,7 @@ def bench_nbody(n, theta, steps, warmup, chain, distribution, engine,
                       group_size=group_size, max_depth=depth,
                       window_groups=2, list_capacity=list_cap, skin=skin,
                       rebuild_interval=rebuild_interval,
+                      refresh_interval=refresh_interval,
                       rebuild_drift_mode=drift_mode)
     if verbose:
         print(f"[bench] platform={jax.devices()[0].platform} n={n:,} "
@@ -132,7 +133,7 @@ def bench_boids(n, steps, warmup, chain, verbose=False):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--only", choices=["1m", "10m", "boids"],
+    p.add_argument("--only", choices=["1m", "10m", "boids", "boids500k"],
                    help="run a single metric (default: the full suite)")
     p.add_argument("--bodies", type=int, default=0,
                    help="override body count for the nbody metric")
@@ -150,11 +151,13 @@ def main(argv=None) -> int:
     p.add_argument("--list-cap", type=int, default=6144)
     p.add_argument("--skin", type=float, default=2.0)
     p.add_argument("--rebuild-interval", type=int, default=48)
+    p.add_argument("--refresh-interval", type=int, default=0,
+                   help="moment-refresh cadence between rebuilds (0 off)")
     p.add_argument("--drift-mode", choices=["max", "off"], default="off")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
-    jobs = [args.only] if args.only else ["1m", "10m", "boids"]
+    jobs = [args.only] if args.only else ["1m", "10m", "boids", "boids500k"]
     common = dict(theta=args.theta, warmup=args.warmup,
                   engine=args.engine, skin=args.skin,
                   drift_mode=args.drift_mode, verbose=args.verbose)
@@ -166,7 +169,8 @@ def main(argv=None) -> int:
                 n=n, steps=args.steps, chain=args.chain,
                 distribution=args.distribution, group_size=args.group_size,
                 depth=args.depth, list_cap=args.list_cap,
-                rebuild_interval=args.rebuild_interval, **common)
+                rebuild_interval=args.rebuild_interval,
+                refresh_interval=args.refresh_interval, **common)
             baseline = reference_steps_per_sec(n, args.theta)
             print(json.dumps({
                 "metric": f"nbody_steps_per_sec_{n // 1000}k_theta{args.theta}",
@@ -190,15 +194,19 @@ def main(argv=None) -> int:
                 "unit": "ms/step",
                 "vs_baseline": round(base_ms / frame_ms, 2),
             }), flush=True)
-        elif job == "boids":
-            n = args.bodies or 100_000
+        elif job in ("boids", "boids500k"):
+            n = args.bodies or (500_000 if job == "boids500k" else 100_000)
             rate = bench_boids(n=n, steps=96, warmup=args.warmup, chain=24,
                                verbose=args.verbose)
+            # The 500K line is the reference's DEFAULT agent count
+            # (config/boids.py:31); its CPU anchor scales the 100K one
+            # linearly in n (grid + Numba loop are O(n)).
+            baseline = BOIDS_BASELINE_100K * 100_000 / n
             print(json.dumps({
                 "metric": f"boids_steps_per_sec_{n // 1000}k",
                 "value": round(rate, 3),
                 "unit": "steps/s",
-                "vs_baseline": round(rate / BOIDS_BASELINE_100K, 2),
+                "vs_baseline": round(rate / baseline, 2),
             }), flush=True)
     return 0
 

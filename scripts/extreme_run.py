@@ -81,6 +81,8 @@ def main():
 
     @jax.jit
     def exact_at(tgt, pos, mass):
+        # Sequential per-target map: a vmapped (3, T, N) difference
+        # tensor is hundreds of GB at 50M bodies.
         soft_sq = cfg.softening ** 2
 
         def one(t):
@@ -90,7 +92,7 @@ def main():
             w = jnp.where(dist_sq > soft_sq,
                           (cfg.G * mass) * inv * inv * inv, 0.0)
             return jnp.sum(w * d, axis=1)
-        return jax.vmap(one, in_axes=1, out_axes=1)(tgt)
+        return jax.lax.map(one, tgt.T).T
 
     from spatialsim_tpu.ops.bh_window import eval_accel
     acc_bh = eval_accel(

@@ -53,12 +53,17 @@ def main():
     skin = float(sys.argv[2]) if len(sys.argv) > 2 else 6.0
     wg = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     gsz = int(sys.argv[4]) if len(sys.argv) > 4 else 256
+    # Moment-refresh cadence under test (0 = frozen lists, the round-2
+    # behaviour).  With refreshes the taus measure only the GEOMETRIC
+    # acceptance decay — the quantity that now sets rebuild_interval.
+    refresh_iv = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     dt = jnp.float32(0.02)
     cfg = NBodyConfig(
         num_bodies=n, theta=0.8, G=0.1, softening=2.0, spawn_radius=500.0,
         distribution="galaxy", engine="window", max_depth=8, group_size=gsz,
         window_groups=wg, list_capacity=6144, skin=skin,
         rebuild_interval=10 ** 6, rebuild_drift_mode="off",
+        refresh_interval=refresh_iv,
         use_quadrupole=False)
     pp, vv, mm = distributions.generate_distribution(
         "galaxy", n, cfg.spawn_radius, cfg.G, seed=0)
@@ -81,7 +86,7 @@ def main():
 
     ekw = dict(G=cfg.G, softening=cfg.softening, group_size=cfg.group_size,
                window_groups=cfg.window_groups, use_pallas=True)
-    taus = [0, 24, 48, 96]
+    taus = [0, 24, 48, 96] if not refresh_iv else [0, 24, 48, 96, 192]
     step24 = make_window_step(cfg, n, substeps=24)
     for i, tau in enumerate(taus):
         if tau:

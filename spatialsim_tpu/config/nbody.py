@@ -54,6 +54,18 @@ class NBodyConfig:
     #   (per-step reference-parity traversal), "window" (amortized).
     engine: str = "auto"
     window_groups: int = 2       # Morton window half-width, in groups
+    # Spatial neighbour groups evaluated EXACTLY alongside the Morton
+    # window.  Measured (scripts/seam_analysis.py): ~85% of far-list
+    # entries lie within 2 group radii — spatially-adjacent cells the
+    # contiguous Morton window misses across octant seams, which the
+    # traversal then opens to max depth.  Each group instead picks its
+    # near_groups closest groups (bbox gap) at rebuild; their bodies
+    # join the near field (block reads, no gathers) and the traversal
+    # drops any cell wholly inside the covered ranges — collapsing both
+    # deep worklist demand and far-list length.  0 disables (the
+    # sharded path forces 0: neighbour groups may live outside the
+    # halo).
+    near_groups: int = 0
     # Acceptance-dilation margin.  Measured at 1M (scripts/staleness_scan
     # + quad_scan): drift outruns any practical skin within ~6 steps, so
     # stale-list error is governed by the entry ADVANCE (advance_order),
@@ -63,6 +75,15 @@ class NBodyConfig:
     # error optimum.
     skin: float = 2.0
     rebuild_interval: int = 48   # max steps between list rebuilds
+    # Moment refresh cadence (steps; 0 = off): between full rebuilds,
+    # re-materialize every far entry's monopole moments from prefix sums
+    # over the CURRENT sorted state (ops/bh_window.refresh_lists) — the
+    # entries' body ranges are contiguous runs of the frozen sort, so a
+    # refresh costs two packed gathers instead of a traversal and zeroes
+    # the frozen-advance staleness (the 26% rms τ=48 tail of round 2).
+    # With refreshes on, rebuild_interval only bounds the GEOMETRIC decay
+    # of the build-time acceptance and can stretch several-fold.
+    refresh_interval: int = 0
     # Drift rebuild policy: "max" rebuilds when ANY body moves > skin/2
     # since the last build (strict Verlet safety — one fast core body can
     # force very frequent rebuilds); "off" relies on rebuild_interval
@@ -107,8 +128,8 @@ class NBodyConfig:
     # degrades entries to bounded-error monopoles/residuals.  Rebuild
     # cost is proportional to the STATIC caps (not the fill), so the
     # budget is sized to measured demand + headroom.
-    # 0 = auto: max(256K, 4.2*npad), capped at 6M up to 4.2M bodies and
-    # at 10M beyond (ops/bh_window._auto_budget).
+    # 0 = auto: max(256K, 4.2*npad), capped at 6M up to 4.2M bodies,
+    # 10M up to 20M, 40M beyond (ops/bh_window._auto_budget).
     worklist_budget: int = 0
 
     # dt cap applied inside the simulation step (reference simulation.py:802).
@@ -134,7 +155,12 @@ def resolve_config(config: NBodyConfig, n: int) -> NBodyConfig:
     if config.group_size == 0:
         kw["group_size"] = 256 if n <= 4_000_000 else 1024
     if config.list_capacity == 0:
-        kw["list_capacity"] = 6144 if n <= 4_000_000 else 8192
+        # >20M is EXTREME territory (reference presets run theta 1.4-1.5
+        # there, tools/presets.py:2352-2584): lists are several-fold
+        # shorter, and an 8192-cap far tensor would alone exceed HBM at
+        # 50M (48828 groups x 10 rows x 8192 x 4 B = 16 GB).
+        kw["list_capacity"] = (6144 if n <= 4_000_000 else
+                               8192 if n <= 20_000_000 else 2048)
     if config.advance_order == 0:
         kw["advance_order"] = 2
     return config.replace(**kw) if kw else config

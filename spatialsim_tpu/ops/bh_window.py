@@ -80,9 +80,111 @@ class BHLists(NamedTuple):
     shared_n: jax.Array     # (nsg,) int32
     ref_pos: jax.Array      # (3, N) sorted positions at build (drift check)
     steps_since: jax.Array  # () int32 steps since build
+    # Spatial neighbour groups (config.near_groups): (ng, K) int32 global
+    # group ids whose bodies join the exact near field, -1 = none.
+    # None/(ng, 0) when the feature is off.
+    near: jax.Array | None = None
+    # Sorted-order body range [start, end) behind each far entry —
+    # (ng, 2, L) int32, (0, 0) for the residual slot.  Lets
+    # :func:`refresh_lists` re-materialize every entry's moments from
+    # prefix sums over the CURRENT state without re-sorting or
+    # re-traversing (cells are contiguous runs of the frozen sort).
+    far_range: jax.Array | None = None
+    # Steps since the last FULL rebuild (drives the rebuild policy);
+    # ``steps_since`` counts since the last refresh (drives the frozen-
+    # entry advance τ).  Equal when refresh is off.
+    steps_build: jax.Array | None = None
     # NOTE: entries are rows-major x entries-minor so the minor (lane)
     # dimension is the large one — (entries, R) layouts pad R -> 128 on
     # TPU (up to 16x HBM blowup).
+
+
+def _select_near_groups(bmin, bmax, K, wg, group_offset, ng_local):
+    """K spatially-nearest groups per local group, by bbox gap.
+
+    ``bmin``/``bmax``: (ng_total, 3) GLOBAL group bounding boxes (the
+    sort is replicated, so every shard sees all candidates).  Returns
+    (ng_local, K) int32 global ids, -1 where no qualifying neighbour.
+
+    Selection is a perf/accuracy knob, not a correctness one: whatever
+    set is chosen here is exactly the set the traversal drops and the
+    eval reads, so coverage stays consistent by construction.  Ranked by
+    CONTACT VOLUME of the margin-dilated boxes (spatial tiles all sit at
+    bbox gap ~ 0, so gap can't rank them; shared-face area can).
+    Morton-window members (|Δg| <= wg) and self are excluded.
+    """
+    ng_t = bmin.shape[0]
+    r_all = 0.5 * jnp.linalg.norm(bmax - bmin, axis=1)        # (ng_t,)
+    gid_all = jnp.arange(ng_t, dtype=jnp.int32)
+
+    chunk = 512
+    ngl_pad = ((ng_local + chunk - 1) // chunk) * chunk
+
+    def one_chunk(c0):
+        rows = c0 + jnp.arange(chunk)
+        rows_c = jnp.clip(rows, 0, ng_t - 1)
+        tmin = bmin[rows_c]                                   # (c, 3)
+        tmax = bmax[rows_c]
+        # Contact volume of the margin-dilated boxes: face-adjacent
+        # neighbours (large shared surface) dominate seam traffic, and
+        # gap alone can't rank them — spatial tiles all sit at gap ~ 0.
+        m = 0.25 * r_all[rows_c][:, None, None]               # (c, 1, 1)
+        ov = (jnp.minimum(tmax[:, None, :], bmax[None, :, :])
+              - jnp.maximum(tmin[:, None, :], bmin[None, :, :])
+              + 2.0 * m)                                      # (c, ng_t, 3)
+        contact = jnp.prod(jnp.maximum(ov, 0.0), axis=2)      # (c, ng_t)
+        gidg = rows_c + group_offset
+        excl = jnp.abs(gid_all[None, :] - gidg[:, None]) <= wg
+        score = jnp.where(excl, 0.0, contact)
+        top, ids = jax.lax.top_k(score, K)
+        return jnp.where(top > 0.0, ids, -1).astype(jnp.int32)
+
+    starts = jnp.arange(ngl_pad // chunk) * chunk
+    near = jax.lax.map(one_chunk, starts).reshape(ngl_pad, K)
+    return near[:ng_local]
+
+
+def _covered_intervals(near, wg, group_offset, gsz):
+    """Merged, sorted, half-open covered intervals in BODY units.
+
+    Covered = the Morton window [g-wg, g+wg] plus each near-group id,
+    merged where adjacent/overlapping.  Returns (ng_local, M, 2) int32
+    with M = K + 1; empty slots carry a far-right sentinel so
+    containment/overlap tests fail naturally.  Sorted ascending by
+    start (required by the sliver clip's running-pointer walk).
+    """
+    ngl, K = near.shape
+    BIGG = jnp.int32(1_000_000)      # group units; * gsz stays < 2^31
+    gid = jnp.arange(ngl, dtype=jnp.int32) + group_offset
+    starts = jnp.concatenate(
+        [(gid - wg)[:, None],
+         jnp.where(near >= 0, near, BIGG)], axis=1)           # (ngl, K+1)
+    ends = jnp.concatenate(
+        [(gid + wg + 1)[:, None],
+         jnp.where(near >= 0, near + 1, BIGG)], axis=1)
+    o = jnp.argsort(starts, axis=1)
+    starts = jnp.take_along_axis(starts, o, axis=1)
+    ends = jnp.take_along_axis(ends, o, axis=1)
+
+    out_s, out_e = [], []
+    cur_s, cur_e = starts[:, 0], ends[:, 0]
+    for i in range(1, K + 1):
+        s_i, e_i = starts[:, i], ends[:, i]
+        new = s_i > cur_e                    # half-open: touching merges
+        out_s.append(jnp.where(new, cur_s, BIGG))
+        out_e.append(jnp.where(new, cur_e, BIGG))
+        cur_s = jnp.where(new, s_i, cur_s)
+        cur_e = jnp.where(new, e_i, jnp.maximum(cur_e, e_i))
+    out_s.append(cur_s)
+    out_e.append(cur_e)
+    s = jnp.stack(out_s, axis=1)
+    e = jnp.stack(out_e, axis=1)
+    # Closed intervals were emitted in ascending order but interleaved
+    # with sentinels; one tiny sort puts sentinels last.
+    o2 = jnp.argsort(s, axis=1)
+    s = jnp.take_along_axis(s, o2, axis=1) * gsz
+    e = jnp.take_along_axis(e, o2, axis=1) * gsz
+    return jnp.stack([s, e], axis=2)                          # (ngl, M, 2)
 
 
 def _exclusive_cumsum(x):
@@ -94,6 +196,11 @@ def _exclusive_cumsum(x):
 # ---------------------------------------------------------------------------
 
 SLIVER_CAP = 64  # >= 4 emissions/level x levels; deterministic bound
+# Straddle-emission compaction capacity, per group per level: boundary
+# cuts of the covered union are ~(2 + 2*near_groups) per group, so 16
+# is generous.  Overflow drops the fragment (documented tiny mass leak
+# on pathological densities) rather than paying W-wide scatters.
+SL_COMPACT_PER_GROUP = 16
 
 
 def _pack_levels(tree, quadrupole, with_acc):
@@ -103,12 +210,16 @@ def _pack_levels(tree, quadrupole, with_acc):
     (measured scripts/gather_bench.py: a 16-row (R, C)[:, idx] gather
     costs the same ~15 ns/index as one column) — so the traversal's ~14
     separate column gathers per worklist slot were the round-2 rebuild
-    wall (~210 ns/slot x 7.6M slots ~ 1.6 s at 1M bodies).  Pack every
-    per-cell attribute into one (R, C) f32 array: rows [com3, vel3, mass,
-    (traceless Q6), (acc3), count, body_start, child_start, child_count]
-    with the int rows bitcast to f32 (lossless).  The traceless
-    conversion 3*M2 - tr(M2)*I happens here once per CELL instead of per
-    visited (group, cell) pair.
+    wall (~210 ns/slot x 7.6M slots ~ 1.6 s at 1M bodies).  Pack the
+    float attributes into one (R, C) f32 array — rows [com3, vel3, mass,
+    (traceless Q6), (acc3)] — and the int attributes [count, body_start,
+    child_start, child_count] into a separate (4, C) int32 array.  They
+    must NOT share one array via bitcast: small int32 bit patterns are
+    f32 DENORMALS, and the TPU flushes denormals to zero en route
+    (measured round 3: a bitcast-transported traversal built 93%-wrong
+    forces on chip while bit-exact on CPU).  The traceless conversion
+    3*M2 - tr(M2)*I happens here once per CELL instead of per visited
+    (group, cell) pair.
     """
     packed = []
     for lv in tree.levels:
@@ -123,17 +234,22 @@ def _pack_levels(tree, quadrupole, with_acc):
             rows += [lv.acc[0], lv.acc[1], lv.acc[2]]
         ints = jnp.stack([lv.count, lv.body_start, lv.child_start,
                           lv.child_count])
-        packed.append(jnp.concatenate(
-            [jnp.stack(rows),
-             jax.lax.bitcast_convert_type(ints, jnp.float32)], axis=0))
+        packed.append((jnp.stack(rows), ints))
     return packed
 
 
 def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
-                     gsz, window_groups, list_cap, n_levels, wl_caps,
-                     group_offset=0, quadrupole=False, with_acc=False):
+                     gsz, intervals, list_cap, n_levels, wl_caps,
+                     quadrupole=False, with_acc=False, with_ranges=True):
     """Global-worklist traversal: all (group, cell) pairs of one level in
     one flat, group-major list.
+
+    ``intervals``: (ng, M, 2) int32 half-open COVERED body ranges per
+    group (:func:`_covered_intervals`) — the Morton window plus any
+    near-neighbour groups, merged and sorted.  Cells wholly inside the
+    union are dropped (their bodies are near-field sources); cells
+    straddling it keep opening, and at max depth their uncovered
+    fragments are emitted as range slivers.
 
     Unlike the per-group frontier (whose static capacity must cover the
     *densest* group, taxing every other group ~10x), the worklist's
@@ -157,13 +273,21 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
     L = list_cap
     n_cols = 7 + (6 if quadrupole else 0) + (3 if with_acc else 0)
     n_res = 10 if with_acc else 7
-    # (6, ng) packed bounds: rows [min3 - skin, max3 + skin].
+    M = intervals.shape[1]
+    # Per-group packed data: (6, ng) f32 bounds and (2M, ng) int32
+    # covered intervals (separate arrays — see the denormal note in
+    # _pack_levels).
     bounds = jnp.concatenate([(bbox_min - skin).T, (bbox_max + skin).T])
+    iv_pack = intervals.reshape(ng, 2 * M).T
 
     # Columnar storage throughout: (W,) and (ng*L,) flat vectors only.
     # Row-major (W, k) arrays tile as T(8,128) on TPU and pad the tiny
     # minor dimension up to 43x — both a memory and bandwidth disaster.
     far_cols = [jnp.zeros((ng * L,), jnp.float32) for _ in range(n_cols)]
+    # Entry body ranges (refresh machinery; skipped when the caller
+    # can't use refreshes — e.g. the sharded engine).
+    fr_s = jnp.zeros((ng * L,), jnp.int32) if with_ranges else None
+    fr_e = jnp.zeros((ng * L,), jnp.int32) if with_ranges else None
     far_n = jnp.zeros((ng,), jnp.int32)
     sl_start = jnp.zeros((ng * SLIVER_CAP,), jnp.int32)
     sl_end = jnp.zeros((ng * SLIVER_CAP,), jnp.int32)
@@ -204,11 +328,12 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
         active = (jnp.arange(W) < wl_n) & (wl_c >= 0)
         cidx = jnp.clip(wl_c, 0, lv.code.shape[0] - 1)
         gidx = jnp.clip(wl_g, 0, ng - 1)
-        # ONE packed gather for every per-cell attribute (see _pack_levels).
-        A = packed_levels[li][:, cidx]             # (n_cols + 4, W)
+        # TWO packed gathers for every per-cell attribute (floats + ints
+        # — see _pack_levels).
+        A = packed_levels[li][0][:, cidx]          # (n_cols, W) f32
+        ci = packed_levels[li][1][:, cidx]         # (4, W) int32
         ccom = A[0:3]
         cvel = A[3:6]
-        ci = jax.lax.bitcast_convert_type(A[n_cols:n_cols + 4], jnp.int32)
         cmass = jnp.where(active, A[6], 0.0)
         ccount = jnp.where(active, ci[0], 0)
         cstart = jnp.where(active, ci[1], 0)
@@ -220,17 +345,24 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
         vals = (A[0], A[1], A[2], A[3], A[4], A[5], cmass) \
             + tuple(A[i] for i in range(7, n_cols))
 
-        # Window bounds in GLOBAL body indices (gidx is local to this
-        # shard; group_offset maps it to the global group id).
-        lo = (gidx + group_offset - window_groups) * gsz
-        hi = (gidx + group_offset + window_groups + 1) * gsz
-        in_window = active & (cstart >= lo) & (cend <= hi)
-        straddle = active & ~in_window & (cstart < hi) & (cend > lo)
-        outside = active & ~in_window & ~straddle
-
-        B = bounds[:, gidx]                        # (6, W) one gather
+        B = bounds[:, gidx]                        # (6, W)
         gmin = B[0:3]
         gmax = B[3:6]
+        iv = iv_pack[:, gidx]                      # (2M, W) int32
+
+        # Covered-union tests in GLOBAL body indices.  Containment within
+        # the union implies containment within a single interval (merged
+        # intervals are disjoint with >= one uncovered group between
+        # them), so M per-interval tests are exact.
+        in_union = jnp.zeros((W,), bool)
+        overlap = jnp.zeros((W,), bool)
+        for i in range(M):
+            lo_i, hi_i = iv[2 * i], iv[2 * i + 1]
+            in_union |= (cstart >= lo_i) & (cend <= hi_i)
+            overlap |= (cstart < hi_i) & (cend > lo_i)
+        in_window = active & in_union
+        straddle = active & ~in_union & overlap
+        outside = active & ~in_union & ~overlap
         gap = jnp.maximum(gmin - ccom, ccom - gmax)
         gap = jnp.maximum(gap, 0.0)
         dmin_sq = jnp.sum(gap * gap, axis=0) + soft_sq
@@ -251,7 +383,7 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
         seg_start = jnp.searchsorted(wl_g, jnp.arange(ng, dtype=jnp.int32),
                                      side="left").astype(jnp.int32)
 
-        def scatter_emit(mask, far_cols, far_n, res_cols):
+        def scatter_emit(mask, far_cols, fr_s, fr_e, far_n, res_cols):
             em = mask.astype(jnp.int32)
             excl = jnp.cumsum(em) - em
             base = excl[jnp.clip(seg_start, 0, W - 1)]       # (ng,)
@@ -260,6 +392,11 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
             flat = jnp.where(ok, gidx * L + local, ng * L)
             far_cols = [fc.at[flat].set(v, mode="drop")
                         for fc, v in zip(far_cols, vals)]
+            if with_ranges:
+                fr_s = fr_s.at[flat].set(cstart, mode="drop")
+                fr_e = fr_e.at[flat].set(cend, mode="drop")
+            else:
+                fr_s = fr_e = None
             # Overflow folds into the mass-conserving residual.  The
             # scatters still process all W updates, so gate the whole
             # thing on overflow actually occurring (it's the rare path).
@@ -280,30 +417,60 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
                                     lambda rs: rs, res_cols)
             counts = jax.ops.segment_sum(ok.astype(jnp.int32), gidx,
                                          num_segments=ng)
-            return far_cols, jnp.minimum(far_n + counts, L - 1), res_cols
+            return (far_cols, fr_s, fr_e,
+                    jnp.minimum(far_n + counts, L - 1), res_cols)
 
         def scatter_sliver(mask, s, e, sl_state):
+            # Straddling emissions are rare (~(2 + 2K) boundary cuts per
+            # group per level), so COMPACT them first — the (M + 1)-part
+            # clip against the covered intervals then runs on a small
+            # array instead of repeating W-wide scatters per part.
+            C = SL_COMPACT_PER_GROUP * ng
+
             def do(sl_state):
                 sl_start, sl_end, sl_n = sl_state
-                for ps, pe in ((s, jnp.minimum(e, lo)),
-                               (jnp.maximum(s, hi), e)):
-                    take = mask & (pe > ps)
-                    em = take.astype(jnp.int32)
-                    excl = jnp.cumsum(em) - em
-                    base = excl[jnp.clip(seg_start, 0, W - 1)]
-                    local = sl_n[gidx] + (excl - base[gidx])
+                em = mask.astype(jnp.int32)
+                rank = jnp.cumsum(em) - em
+                cpos = jnp.where(mask, rank, C)       # overflow -> drop
+                cs = jnp.zeros((C,), jnp.int32).at[cpos].set(s, mode="drop")
+                ce = jnp.zeros((C,), jnp.int32).at[cpos].set(e, mode="drop")
+                cg = jnp.full((C,), ng, jnp.int32).at[cpos].set(
+                    gidx, mode="drop")
+                cvalid = ce > cs
+                cgc = jnp.clip(cg, 0, ng - 1)
+                civ = intervals.reshape(ng, 2 * M).T[:, cgc]   # (2M, C)
+
+                # Walk the sorted intervals with a running pointer: each
+                # uncovered fragment of [cs, ce) becomes one sliver part.
+                cur = cs
+                parts = []
+                for i in range(M):
+                    lo_i, hi_i = civ[2 * i], civ[2 * i + 1]
+                    parts.append((cur, jnp.minimum(ce, lo_i)))
+                    cur = jnp.maximum(cur, hi_i)
+                parts.append((cur, ce))
+
+                cseg = jnp.searchsorted(
+                    cg, jnp.arange(ng, dtype=jnp.int32),
+                    side="left").astype(jnp.int32)
+                for ps, pe in parts:
+                    take = cvalid & (pe > ps)
+                    tm = take.astype(jnp.int32)
+                    excl = jnp.cumsum(tm) - tm
+                    base = excl[jnp.clip(cseg, 0, C - 1)]
+                    local = sl_n[cgc] + (excl - base[cgc])
                     ok = take & (local < SLIVER_CAP)
-                    flat = jnp.where(ok, gidx * SLIVER_CAP + local,
+                    flat = jnp.where(ok, cgc * SLIVER_CAP + local,
                                      ng * SLIVER_CAP)
                     sl_start = sl_start.at[flat].set(ps, mode="drop")
                     sl_end = sl_end.at[flat].set(pe, mode="drop")
                     counts = jax.ops.segment_sum(ok.astype(jnp.int32),
-                                                 gidx, num_segments=ng)
+                                                 jnp.where(take, cgc, ng),
+                                                 num_segments=ng)
                     sl_n = jnp.minimum(sl_n + counts, SLIVER_CAP)
                 return sl_start, sl_end, sl_n
-            # Slivers are rare (bounded per level); skip the scatters
-            # entirely on the common path.
-            return jax.lax.cond(jnp.any(mask), do, lambda s: s, sl_state)
+            # Skip everything on the common no-straddle path.
+            return jax.lax.cond(jnp.any(mask), do, lambda st: st, sl_state)
 
         if not last:
             W_next = wl_caps[li + 1]
@@ -314,8 +481,8 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
             emit_val = emit_val | (ovf & outside)
             emit_sl = emit_sl | (ovf & straddle)
 
-        far_cols, far_n, res_cols = scatter_emit(
-            emit_val, far_cols, far_n, res_cols)
+        far_cols, fr_s, fr_e, far_n, res_cols = scatter_emit(
+            emit_val, far_cols, fr_s, fr_e, far_n, res_cols)
         sl_start, sl_end, sl_n = scatter_sliver(
             emit_sl, cstart, cend, (sl_start, sl_end, sl_n))
 
@@ -360,8 +527,11 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
     if n_cols == 7:
         grid.append(jnp.zeros((ng, L), jnp.float32))
     far = jnp.stack(grid, axis=1)                             # (ng, R, L)
+    far_range = (jnp.stack([fr_s.reshape(ng, L), fr_e.reshape(ng, L)],
+                           axis=1)                            # (ng, 2, L)
+                 if with_ranges else None)
     res = jnp.stack(res_cols, axis=1)                         # (ng, 7|10)
-    return (far, far_n, sl_start.reshape(ng, SLIVER_CAP),
+    return (far, far_range, far_n, sl_start.reshape(ng, SLIVER_CAP),
             sl_end.reshape(ng, SLIVER_CAP), sl_n, res,
             jnp.stack(wl_sizes))
 
@@ -377,7 +547,9 @@ def _auto_budget(npad: int) -> int:
     the gentle case (measured 2026-08-17, scripts/nbody_error.py).
     """
     budget = max(262_144, int(4.2 * npad))
-    return min(budget, 6_000_000 if npad <= 4_200_000 else 10_000_000)
+    cap = (6_000_000 if npad <= 4_200_000 else
+           10_000_000 if npad <= 20_000_000 else 40_000_000)
+    return min(budget, cap)
 
 
 def _default_wl_caps(ng: int, n_levels: int, budget: int, c0: int = 64):
@@ -408,11 +580,12 @@ def _default_wl_caps(ng: int, n_levels: int, budget: int, c0: int = 64):
     jax.jit,
     static_argnames=("theta", "softening", "skin", "max_depth", "group_size",
                      "window_groups", "list_cap", "worklist_budget",
-                     "n_groups", "quadrupole"))
+                     "n_groups", "quadrupole", "near_groups",
+                     "with_ranges"))
 def build_lists(pos, vel, mass, acc=None, *, theta, softening, skin=4.0,
                 max_depth=10, group_size=256, window_groups=3, list_cap=2048,
                 worklist_budget=0, group_offset=0, n_groups=None,
-                quadrupole=False):
+                quadrupole=False, near_groups=0, with_ranges=True):
     """Morton-sort + octree + global-worklist traversal -> :class:`BHLists`.
 
     The traversal visits all (group, cell) pairs of one octree level in a
@@ -445,6 +618,60 @@ def build_lists(pos, vel, mass, acc=None, *, theta, softening, skin=4.0,
     s_vel = vel[:, order_pad]
     s_acc = None if acc is None else acc[:, order_pad]
 
+    return _build_from_sorted(
+        s_codes, s_pos, s_vel, s_mass, s_acc, order, order_pad, pos, n,
+        half, theta=theta, softening=softening, skin=skin,
+        max_depth=max_depth, group_size=group_size,
+        window_groups=window_groups, list_cap=list_cap,
+        worklist_budget=worklist_budget, group_offset=group_offset,
+        n_groups=n_groups, quadrupole=quadrupole,
+        near_groups=near_groups, with_ranges=with_ranges)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("theta", "softening", "skin", "max_depth",
+                     "group_size", "window_groups", "list_cap",
+                     "worklist_budget", "n_groups", "quadrupole",
+                     "near_groups", "with_ranges"))
+def build_lists_sorted(s_pos, s_vel, s_mass, s_acc=None, *, order, theta,
+                       softening, skin=4.0, max_depth=10, group_size=256,
+                       window_groups=3, list_cap=2048, worklist_budget=0,
+                       group_offset=0, n_groups=None, quadrupole=False,
+                       near_groups=0, with_ranges=True):
+    """:func:`build_lists` for ALREADY globally Morton-sorted state.
+
+    Entry point for the distributed rebuild
+    (:mod:`spatialsim_tpu.parallel.distsort` sample-sorts the shards;
+    the devices then gather the SORTED state and skip the replicated
+    ``argsort(N)``).  ``s_pos``/``s_vel``/``s_mass`` must be
+    (3, npad)/(npad,) with npad a multiple of ``group_size`` and padding
+    slots already zero-mass; ``order`` is the (npad,) caller-meaningful
+    id of each sorted slot, threaded through to ``BHLists.order``.
+    """
+    npad = s_pos.shape[1]
+    assert npad % group_size == 0, "pre-sorted input must be group-padded"
+    half = compute_bounds(s_pos)
+    s_codes = morton_encode(s_pos, half, max_depth)
+    return _build_from_sorted(
+        s_codes, s_pos, s_vel, s_mass, s_acc, order, order, s_pos, npad,
+        half, theta=theta, softening=softening, skin=skin,
+        max_depth=max_depth, group_size=group_size,
+        window_groups=window_groups, list_cap=list_cap,
+        worklist_budget=worklist_budget, group_offset=group_offset,
+        n_groups=n_groups, quadrupole=quadrupole,
+        near_groups=near_groups, with_ranges=with_ranges)
+
+
+def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
+                       order_pad, pos, n, half, *, theta, softening, skin,
+                       max_depth, group_size, window_groups, list_cap,
+                       worklist_budget, group_offset, n_groups,
+                       quadrupole, near_groups, with_ranges):
+    gsz = group_size
+    npad = s_pos.shape[1]
+    acc = s_acc
+
     tree = build_octree(s_codes, s_pos, s_mass, half, max_depth=max_depth,
                         start_level=2, n=npad, sorted_vel=s_vel,
                         sorted_acc=s_acc, with_quadrupole=quadrupole)
@@ -453,33 +680,45 @@ def build_lists(pos, vel, mass, acc=None, *, theta, softening, skin=4.0,
     ng_total = npad // gsz
     ng = n_groups or ng_total
     gpos = s_pos.reshape(3, ng_total, gsz)
-    bbox_min = jnp.min(gpos, axis=2).T
-    bbox_max = jnp.max(gpos, axis=2).T
+    bmin_all = jnp.min(gpos, axis=2).T                        # (ng_total, 3)
+    bmax_all = jnp.max(gpos, axis=2).T
     sliced = ng != ng_total or not (
         isinstance(group_offset, int) and group_offset == 0)
     if sliced:
-        bbox_min = jax.lax.dynamic_slice_in_dim(bbox_min, group_offset, ng)
-        bbox_max = jax.lax.dynamic_slice_in_dim(bbox_max, group_offset, ng)
+        bbox_min = jax.lax.dynamic_slice_in_dim(bmin_all, group_offset, ng)
+        bbox_max = jax.lax.dynamic_slice_in_dim(bmax_all, group_offset, ng)
+    else:
+        bbox_min, bbox_max = bmin_all, bmax_all
+
+    if near_groups > 0:
+        near = _select_near_groups(bmin_all, bmax_all, near_groups,
+                                   window_groups, group_offset, ng)
+    else:
+        near = jnp.zeros((ng, 0), jnp.int32)
+    intervals = _covered_intervals(near, window_groups, group_offset, gsz)
 
     budget = worklist_budget or _auto_budget(npad)
     wl_caps = _default_wl_caps(ng, n_levels, budget,
                                c0=tree.levels[0].code.shape[0])
-    far, far_n, sl_start, sl_end, sl_n, res, _wl = _traverse_global(
-        tree, bbox_min, bbox_max, ng, theta=float(theta),
-        soft_sq=float(softening) ** 2, skin=float(skin), gsz=gsz,
-        window_groups=window_groups, list_cap=list_cap,
-        n_levels=n_levels, wl_caps=wl_caps, group_offset=group_offset,
-        quadrupole=quadrupole, with_acc=acc is not None)
+    far, far_range, far_n, sl_start, sl_end, sl_n, res, _wl = \
+        _traverse_global(
+            tree, bbox_min, bbox_max, ng, theta=float(theta),
+            soft_sq=float(softening) ** 2, skin=float(skin), gsz=gsz,
+            intervals=intervals, list_cap=list_cap,
+            n_levels=n_levels, wl_caps=wl_caps,
+            quadrupole=quadrupole, with_acc=acc is not None,
+            with_ranges=with_ranges)
     shared = jnp.zeros((1, far.shape[1], 128), jnp.float32)
     shared_n = jnp.zeros((1,), jnp.int32)
-    return _finish_lists(far, far_n, sl_start, sl_end, sl_n, res,
-                         shared, shared_n, s_pos, s_vel, s_mass, order,
-                         order_pad, pos, n, list_cap, s_acc=s_acc)
+    return _finish_lists(far, far_range, far_n, sl_start, sl_end, sl_n,
+                         res, shared, shared_n, s_pos, s_vel, s_mass,
+                         order, order_pad, pos, n, list_cap, s_acc=s_acc,
+                         near=near)
 
 
-def _finish_lists(far, far_n, sl_start, sl_end, sl_n, res, shared, shared_n,
-                  s_pos, s_vel, s_mass, order, order_pad, pos, n, list_cap,
-                  s_acc=None):
+def _finish_lists(far, far_range, far_n, sl_start, sl_end, sl_n, res,
+                  shared, shared_n, s_pos, s_vel, s_mass, order, order_pad,
+                  pos, n, list_cap, s_acc=None, near=None):
     """Sliver moments + residual entry + BHLists assembly.
 
     ``far``/``shared`` use the (groups, R, entries) layout with R per
@@ -518,13 +757,17 @@ def _finish_lists(far, far_n, sl_start, sl_end, sl_n, res, shared, shared_n,
 
     # Append slivers to the far lists (slot list_cap-1 stays reserved for
     # the residual; sliver overflow folds into the residual too).
-    def append(fv, fn, sv, sn, rs):
-        # fv (R, L); sv (R, SC); rs (7|10,)
+    with_ranges = far_range is not None
+
+    def append(fv, fr, fn, sv, ss_, se_, sn, rs):
+        # fv (R, L); fr (2, L)|(); sv (R, SC); ss_/se_ (SC,); rs (7|10,)
         k = jnp.arange(SLIVER_CAP, dtype=jnp.int32)
         take = k < sn
         fits = take & (fn + k < list_cap - 1)
         slot = jnp.where(fits, fn + k, list_cap)
         fv = fv.at[:, slot].set(sv, mode="drop")
+        if with_ranges:
+            fr = fr.at[:, slot].set(jnp.stack([ss_, se_]), mode="drop")
         over = take & ~fits
         om = jnp.where(over, sv[6, :], 0.0)
         parts = [jnp.sum(om)[None],
@@ -534,8 +777,13 @@ def _finish_lists(far, far_n, sl_start, sl_end, sl_n, res, shared, shared_n,
             parts.append(jnp.sum(sv[acc0:acc0 + 3, :] * om[None, :],
                                  axis=1))
         rs = rs + jnp.concatenate(parts)
-        return fv, jnp.minimum(fn + sn, list_cap - 1), rs
-    far, far_n, res = jax.vmap(append)(far, far_n, svals, sl_n, res)
+        return fv, fr, jnp.minimum(fn + sn, list_cap - 1), rs
+
+    fr_in = far_range if with_ranges else jnp.zeros((ng, 1))
+    far, far_range, far_n, res = jax.vmap(append)(
+        far, fr_in, far_n, svals, sl_start, sl_end, sl_n, res)
+    if not with_ranges:
+        far_range = None
 
     # Residual -> one entry in the reserved last slot.
     res_m = res[:, 0]
@@ -558,53 +806,107 @@ def _finish_lists(far, far_n, sl_start, sl_end, sl_n, res, shared, shared_n,
 
     inv_order = jnp.zeros((n,), jnp.int32).at[order].set(
         jnp.arange(n, dtype=jnp.int32))
+    if near is None:
+        near = jnp.zeros((ng, 0), jnp.int32)
     return BHLists(order=order_pad, inv_order=inv_order,
                    far=far.astype(jnp.float32), far_n=far_n,
                    shared=shared.astype(jnp.float32), shared_n=shared_n,
-                   ref_pos=pos, steps_since=jnp.int32(0))
+                   ref_pos=pos, steps_since=jnp.int32(0), near=near,
+                   far_range=far_range, steps_build=jnp.int32(0))
+
+
+def refresh_lists(lists: BHLists, pos_s, vel_s, mass_s, acc_s=None,
+                  dt=0.0, tau_clamp=24.0):
+    """Re-materialize every far entry's moments from the CURRENT state.
+
+    The structural insight behind long rebuild intervals: each far entry
+    is a contiguous run ``[start, end)`` of the frozen sorted order
+    (``lists.far_range``), so its EXACT current monopole moments come
+    from prefix sums over the current sorted state — no sort, no octree,
+    no traversal.  A refresh zeroes the frozen-advance error (the ½|a|τ²
+    tail that dominated between-rebuild error, measured 23-26% rms at
+    τ=48) and resets ``steps_since``; what remains until the next full
+    rebuild is only the slow geometric decay of the build-time
+    acceptance (cells deform as bodies drift).
+
+    Entries without a range (the reserved residual slot) are REBASED
+    instead: their stored com/vel advance by the elapsed τ so the
+    per-step advance stays continuous across the reset.  Quadrupole
+    rows, if present, keep their build values (their drift is higher
+    order).  ``steps_build`` keeps counting — the rebuild policy is
+    unaffected by refreshes.
+
+    Inputs are SORTED (3, n)/(n,) state arrays (the production layout).
+    Returns the refreshed :class:`BHLists`.
+    """
+    far = lists.far
+    ng, R, L = far.shape
+    quad, acc0 = far_layout(R)
+    with_acc = acc_s is not None and acc0 is not None
+    npad = lists.order.shape[0]
+    n = pos_s.shape[1]
+    pad = npad - n
+    if pad:
+        pos_s = jnp.concatenate(
+            [pos_s, jnp.broadcast_to(pos_s[:, -1:], (3, pad))], axis=1)
+        mass_s = jnp.concatenate([mass_s, jnp.zeros((pad,))])
+        vel_s = jnp.concatenate([vel_s, jnp.zeros((3, pad))], axis=1)
+        if with_acc:
+            acc_s = jnp.concatenate([acc_s, jnp.zeros((3, pad))], axis=1)
+
+    w = mass_s[None, :]
+    cols = [w, pos_s * w, vel_s * w]
+    if with_acc:
+        cols.append(acc_s * w)
+    n_rows_p = 10 if with_acc else 7
+    pref = jnp.concatenate([
+        jnp.zeros((n_rows_p, 1), jnp.float32),
+        jnp.cumsum(jnp.concatenate(cols, axis=0), axis=1)], axis=1)
+
+    fs = lists.far_range[:, 0, :].reshape(ng * L)
+    fe = lists.far_range[:, 1, :].reshape(ng * L)
+    seg = pref[:, fe] - pref[:, fs]                  # (P, ng*L) 2 gathers
+    m = seg[0]
+    inv = jnp.where(m > 0, 1.0 / jnp.maximum(m, 1e-30), 0.0)
+    new_rows = [seg[1] * inv, seg[2] * inv, seg[3] * inv,
+                seg[4] * inv, seg[5] * inv, seg[6] * inv, m]
+    if quad:
+        new_rows += [far[:, 7 + i, :].reshape(ng * L) for i in range(6)]
+    if acc0 is not None:
+        new_rows += ([seg[7] * inv, seg[8] * inv, seg[9] * inv]
+                     if with_acc
+                     else [far[:, acc0 + i, :].reshape(ng * L)
+                           for i in range(3)])
+    new_rows += [jnp.zeros((ng * L,), jnp.float32)] * (R - len(new_rows))
+    new = jnp.stack(new_rows).reshape(R, ng, L).transpose(1, 0, 2)
+
+    # Rebase rangeless entries (residual slot) so their advance is
+    # continuous through the τ reset.
+    tau = lists.steps_since.astype(jnp.float32) * dt
+    old = far
+    old_com = old[:, 0:3, :] + old[:, 3:6, :] * tau
+    old_vel = old[:, 3:6, :]
+    if acc0 is not None:
+        tc = jnp.minimum(tau, jnp.float32(tau_clamp) * dt)
+        old_com = old_com + old[:, acc0:acc0 + 3, :] * (
+            tc * tau - 0.5 * tc * tc)
+        old_vel = old_vel + old[:, acc0:acc0 + 3, :] * tc
+    rebased = jnp.concatenate(
+        [old_com, old_vel, old[:, 6:, :]], axis=1)
+    valid = (fe > fs).reshape(ng, 1, L)
+    far_new = jnp.where(valid, new, rebased)
+    return lists._replace(far=far_new, steps_since=jnp.int32(0))
 
 
 # ---------------------------------------------------------------------------
 # Per-step dense evaluation
 # ---------------------------------------------------------------------------
 
-def far_eval_tensor(far, steps_since, dt, quadrupole=False,
-                    tau_clamp=24.0):
-    """Frozen entries advanced to the current step, in eval-kernel layout.
-
-    ``far`` is the stored ``(ng, R, L)`` tensor with R per
-    :func:`far_layout`.  Without acceleration rows entries advance
-    ballistically (com + v·τ); with them (R 10/16), to SECOND order
-    (com + v·τ + a·τ²/2) —
-    the ballistic advance carries a ½|a|τ² position error that dominates
-    stale-list force error in high-curvature cores (measured 23% rms at
-    1M/τ=24, scripts/staleness_scan.py); the quadrupole stays frozen (its
-    drift is higher order still).
-
-    Output: ``(ng, 4, L)`` rows [x, y, z, m] — or, when ``quadrupole``
-    (static), ``(ng, 16, L)`` [x, y, z, m, q6, 0…] selecting the kernel's
-    quadrupole pair math.  The flag must be passed explicitly: a 16-row
-    store may carry accelerations only, and feeding zero quadrupoles to
-    the quad kernel would waste ~2.4x the far flops.
-    """
-    tau = steps_since.astype(jnp.float32) * dt
-    _, acc0 = far_layout(far.shape[1])
-    fpos = far[:, 0:3, :] + far[:, 3:6, :] * tau
-    if acc0 is not None:
-        # Quadratic term with a clamped velocity correction: the frozen
-        # acceleration decorrelates on the orbital-curvature timescale
-        # (measured: helps 3-4x at tau<=24 steps, overshoots past ~48 —
-        # scripts/staleness_scan.py), so beyond tau_c the correction
-        # grows linearly instead of quadratically:
-        # disp = a·tau²/2 (tau<=tau_c), a·tau_c·(tau - tau_c/2) beyond.
-        tc = jnp.minimum(tau, jnp.float32(tau_clamp) * dt)
-        fpos = fpos + far[:, acc0:acc0 + 3, :] * (tc * tau - 0.5 * tc * tc)
-    if quadrupole:
-        ng, _, L = far.shape
-        return jnp.concatenate(
-            [fpos, far[:, 6:13, :], jnp.zeros((ng, 6, L), jnp.float32)],
-            axis=1)
-    return jnp.concatenate([fpos, far[:, 6:7, :]], axis=1)
+# The frozen-entry advance (com + v·τ + a·(t_c·τ − t_c²/2), t_c clamped
+# at the orbital-curvature horizon) lives IN the Pallas kernel
+# (bh_eval_kernel._advanced_tile) and inline in the XLA oracle below —
+# round 2 pre-materialized an advanced tensor per step, ~1.3 GB of HBM
+# round-trip at 1M.
 
 
 def _window_sources(s_pos, s_mass, ng, gsz, window_groups):
@@ -682,7 +984,8 @@ def _dense_accel(gpos, src_pos, src_mass, G, soft_sq):
 
 def _eval_sorted_padded(lists: BHLists, s_pos, s_mass, dt, *, G, softening,
                         group_size, window_groups, chunk, use_pallas,
-                        far_tile, quadrupole, tau_clamp=24.0, gpp=4):
+                        far_tile, quadrupole, tau_clamp=24.0, gpp=4,
+                        use_cols=False, iblk=0):
     """Core evaluation on already-sorted padded ``(3, npad)`` inputs.
 
     Returns accelerations in SORTED slot order.  Wrapped by
@@ -701,17 +1004,21 @@ def _eval_sorted_padded(lists: BHLists, s_pos, s_mass, dt, *, G, softening,
 
     quad = quadrupole
 
+    near = lists.near
+    K = 0 if near is None else near.shape[1]
+
     if use_pallas:
         from spatialsim_tpu.ops.bh_eval_kernel import pallas_window_eval
-        far_k = far_eval_tensor(lists.far, lists.steps_since, dt, quad,
-                                tau_clamp)
-        shared_k = far_eval_tensor(lists.shared, lists.steps_since, dt,
-                                   quad, tau_clamp)
+        # Raw stored tensors go straight in; the kernel advances each
+        # tile to the current τ in-register (no far_eval_tensor
+        # materialization).
         return pallas_window_eval(
-            s_pos, s_mass, far_k, lists.far_n, shared_k, lists.shared_n,
+            s_pos, s_mass, lists.far, lists.far_n, lists.shared,
+            lists.shared_n, near if K else None, lists.steps_since, dt,
             G=Gf, softening=softening, group_size=gsz,
             window_groups=window_groups, supergroup=S_eff,
-            far_tile=far_tile, groups_per_program=gpp)
+            far_tile=far_tile, groups_per_program=gpp,
+            tau_clamp=float(tau_clamp), use_cols=use_cols, iblk=iblk)
 
     gpos = jnp.moveaxis(s_pos.reshape(3, ng, gsz), 1, 0)      # (ng, 3, gsz)
     center = jnp.mean(gpos, axis=2, keepdims=True)            # (ng, 3, 1)
@@ -743,6 +1050,20 @@ def _eval_sorted_padded(lists: BHLists, s_pos, s_mass, dt, *, G, softening,
 
     src_pos, src_mass = _window_sources(s_pos, s_mass, ng, gsz,
                                         window_groups)
+    if K:
+        # Near-group sources via one packed gather (oracle path; the
+        # Pallas kernel reads them as block views instead).
+        safe = jnp.where((near >= 0) & (near < ng), near, ng)
+        P4 = jnp.concatenate(
+            [jnp.pad(s_pos, ((0, 0), (0, gsz))),
+             jnp.pad(s_mass, (0, gsz))[None, :]], axis=0)  # (4, npad+gsz)
+        flat = (safe[:, :, None] * gsz
+                + jnp.arange(gsz, dtype=jnp.int32)[None, None, :]
+                ).reshape(ng, K * gsz)
+        nsrc = P4[:, flat]                                 # (4, ng, K*gsz)
+        src_pos = jnp.concatenate(
+            [src_pos, jnp.moveaxis(nsrc[0:3], 1, 0)], axis=2)
+        src_mass = jnp.concatenate([src_mass, nsrc[3]], axis=1)
     src_pos_c = src_pos - center
 
     def chunk_eval(args):
@@ -773,11 +1094,12 @@ def _eval_sorted_padded(lists: BHLists, s_pos, s_mass, dt, *, G, softening,
                                              "G", "softening", "chunk",
                                              "use_pallas", "far_tile",
                                              "quadrupole", "tau_clamp",
-                                             "gpp"))
+                                             "gpp", "use_cols",
+                                             "iblk"))
 def eval_accel(lists: BHLists, pos, mass, dt, *, G, softening,
                group_size=256, window_groups=3, chunk=64, use_pallas=True,
                far_tile=512, quadrupole=False, tau_clamp=24.0,
-               gpp=4):
+               gpp=4, use_cols=False, iblk=0):
     """Accelerations at ORIGINAL-order positions (testing/one-shot API).
 
     Pays two permutation gathers (sort in, unsort out) — the production
@@ -793,7 +1115,7 @@ def eval_accel(lists: BHLists, pos, mass, dt, *, G, softening,
         lists, s_pos, s_mass, dt, G=G, softening=softening,
         group_size=group_size, window_groups=window_groups, chunk=chunk,
         use_pallas=use_pallas, far_tile=far_tile, quadrupole=quadrupole,
-        tau_clamp=tau_clamp, gpp=gpp)
+        tau_clamp=tau_clamp, gpp=gpp, use_cols=use_cols, iblk=iblk)
     return acc_sorted[:, lists.inv_order]
 
 
@@ -801,11 +1123,12 @@ def eval_accel(lists: BHLists, pos, mass, dt, *, G, softening,
                                              "G", "softening", "chunk",
                                              "use_pallas", "far_tile",
                                              "quadrupole", "tau_clamp",
-                                             "gpp"))
+                                             "gpp", "use_cols",
+                                             "iblk"))
 def eval_accel_sorted(lists: BHLists, pos_s, mass_s, dt, *, G, softening,
                       group_size=256, window_groups=3, chunk=64,
                       use_pallas=True, far_tile=512, quadrupole=False,
-                      tau_clamp=24.0, gpp=4):
+                      tau_clamp=24.0, gpp=4, use_cols=False, iblk=0):
     """Accelerations for SORTED ``(3, n)`` state — gather-free hot path.
 
     Pads the group tail by repeating the last body (mass 0) instead of
@@ -825,7 +1148,7 @@ def eval_accel_sorted(lists: BHLists, pos_s, mass_s, dt, *, G, softening,
         lists, s_pos, s_mass, dt, G=G, softening=softening,
         group_size=group_size, window_groups=window_groups, chunk=chunk,
         use_pallas=use_pallas, far_tile=far_tile, quadrupole=quadrupole,
-        tau_clamp=tau_clamp, gpp=gpp)
+        tau_clamp=tau_clamp, gpp=gpp, use_cols=use_cols, iblk=iblk)
     return acc_sorted[:, :n]
 
 
@@ -871,7 +1194,8 @@ def _build_kw(config):
                 window_groups=config.window_groups,
                 list_cap=config.list_capacity,
                 worklist_budget=getattr(config, "worklist_budget", 0),
-                quadrupole=quad)
+                quadrupole=quad,
+                near_groups=getattr(config, "near_groups", 0))
 
 
 # Above this body count the step splits into two device programs with the
@@ -910,13 +1234,17 @@ def make_window_step(config, n: int, substeps: int = 1):
                gpp=getattr(config, "eval_groups_per_program", 4))
     damping = config.damping
     interval = config.rebuild_interval
+    refresh_iv = getattr(config, "refresh_interval", 0)
     skin = config.skin
     drift_mode = getattr(config, "rebuild_drift_mode", "max")
     advance2 = getattr(config, "advance_order", 2) >= 2
+    tau_clamp = ekw["tau_clamp"]
 
     def substep(state: WindowBHState, dt):
         lists = state.lists
-        need = lists.steps_since >= interval
+        sb = (lists.steps_build if lists.steps_build is not None
+              else lists.steps_since)
+        need = sb >= interval
         if drift_mode == "max":
             drift = jnp.max(jnp.abs(state.pos - lists.ref_pos))
             need = need | (drift > skin * 0.5)
@@ -933,12 +1261,27 @@ def make_window_step(config, n: int, substeps: int = 1):
             # eval_accel_sorted recomputes it (new layout) right below.
             return pos2, vel2, mass2, acc, nl
 
+        def no_rebuild(args):
+            if not refresh_iv:
+                return args
+            pos, vel, mass, acc, lists = args
+            lists = jax.lax.cond(
+                lists.steps_since >= refresh_iv,
+                lambda ls: refresh_lists(
+                    ls, pos, vel, mass,
+                    acc if advance2 else None, dt, tau_clamp),
+                lambda ls: ls, lists)
+            return pos, vel, mass, acc, lists
+
         pos, vel, mass, _, lists = jax.lax.cond(
-            need, do_rebuild, lambda a: a,
+            need, do_rebuild, no_rebuild,
             (state.pos, state.vel, state.mass, state.acc, lists))
         acc = eval_accel_sorted(lists, pos, mass, dt, **ekw)
         pos, vel = integrate(pos, vel, acc, dt, damping)
-        lists = lists._replace(steps_since=lists.steps_since + 1)
+        lists = lists._replace(
+            steps_since=lists.steps_since + 1,
+            steps_build=(None if lists.steps_build is None
+                         else lists.steps_build + 1))
         # Keep the carry structure stable: acc only lives in the state
         # when the second-order advance consumes it.
         return WindowBHState(pos, vel, mass, lists,
@@ -974,9 +1317,11 @@ def _make_host_scheduled_step(config, n: int, substeps: int):
                gpp=getattr(config, "eval_groups_per_program", 4))
     damping = config.damping
     interval = config.rebuild_interval
+    refresh_iv = getattr(config, "refresh_interval", 0)
     skin = config.skin
     drift_mode = getattr(config, "rebuild_drift_mode", "max")
     advance2 = getattr(config, "advance_order", 2) >= 2
+    tau_clamp = float(getattr(config, "advance_tau_clamp", 24))
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def rebuild(state: WindowBHState):
@@ -985,6 +1330,12 @@ def _make_host_scheduled_step(config, n: int, substeps: int):
             state.pos, state.vel, state.mass, lists.order,
             lists.inv_order, kw, acc=state.acc if advance2 else None)
         return WindowBHState(pos2, vel2, mass2, nl, state.acc)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def refresh(state: WindowBHState, dt):
+        nl = refresh_lists(state.lists, state.pos, state.vel, state.mass,
+                           state.acc if advance2 else None, dt, tau_clamp)
+        return state._replace(lists=nl)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def chain(state: WindowBHState, dt):
@@ -998,7 +1349,10 @@ def _make_host_scheduled_step(config, n: int, substeps: int):
         (pos, vel, acc, ss), _ = jax.lax.scan(
             body, (state.pos, state.vel, state.acc,
                    state.lists.steps_since), None, length=substeps)
-        lists = state.lists._replace(steps_since=ss)
+        lists = state.lists._replace(
+            steps_since=ss,
+            steps_build=(None if state.lists.steps_build is None
+                         else state.lists.steps_build + substeps))
         return WindowBHState(pos, vel, state.mass, lists, acc)
 
     @jax.jit
@@ -1006,12 +1360,17 @@ def _make_host_scheduled_step(config, n: int, substeps: int):
         return jnp.max(jnp.abs(pos - ref))
 
     def step(state: WindowBHState, dt):
-        need = int(state.lists.steps_since) >= interval
+        sb = (state.lists.steps_build
+              if state.lists.steps_build is not None
+              else state.lists.steps_since)
+        need = int(sb) >= interval
         if not need and drift_mode == "max":
             need = float(max_drift(state.pos, state.lists.ref_pos)) \
                 > skin * 0.5
         if need:
             state = rebuild(state)
+        elif refresh_iv and int(state.lists.steps_since) >= refresh_iv:
+            state = refresh(state, dt)
         return chain(state, dt)
 
     return step
@@ -1110,10 +1469,15 @@ def build_diagnostics(pos, vel, mass, config):
         gpos = s_pos.reshape(3, ng, gsz)
         bbox_min = jnp.min(gpos, axis=2).T
         bbox_max = jnp.max(gpos, axis=2).T
-        far, far_n, sls, sle, sl_n, res, wl = _traverse_global(
+        K = kw["near_groups"]
+        near = (_select_near_groups(bbox_min, bbox_max, K,
+                                    kw["window_groups"], 0, ng)
+                if K > 0 else jnp.zeros((ng, 0), jnp.int32))
+        intervals = _covered_intervals(near, kw["window_groups"], 0, gsz)
+        far, _fr, far_n, sls, sle, sl_n, res, wl = _traverse_global(
             tree, bbox_min, bbox_max, ng, theta=float(kw["theta"]),
             soft_sq=float(kw["softening"]) ** 2, skin=float(kw["skin"]),
-            gsz=gsz, window_groups=kw["window_groups"],
+            gsz=gsz, intervals=intervals,
             list_cap=kw["list_cap"], n_levels=n_levels, wl_caps=wl_caps,
             quadrupole=kw["quadrupole"])
         n_cells = jnp.stack([lv.n_cells for lv in tree.levels])

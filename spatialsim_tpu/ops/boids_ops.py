@@ -34,7 +34,8 @@ import jax.numpy as jnp
 
 
 def _window_accumulate(s_pos, s_vel, s_col, s_grpf, *, gsz, wg,
-                       perception_sq, separation_sq, prev_wg=None):
+                       perception_sq, separation_sq, prev_wg=None,
+                       use_pallas=None):
     """Dense Morton-window accumulation over SORTED padded inputs.
 
     ``s_pos``/``s_vel``/``s_col``: ``(3, npad)`` in this pass's sorted
@@ -43,9 +44,39 @@ def _window_accumulate(s_pos, s_vel, s_col, s_grpf, *, gsz, wg,
     previous pass's window are excluded exactly.  Returns raw neighbour
     accumulators in SORTED layout: ``(sep (ng,3,gsz), sep_count, align,
     coh, csum, nb_count)``.
+
+    ``use_pallas`` None = auto.  Auto currently means this XLA form
+    everywhere: measured chained-marginal on the v5e (scripts/
+    decide12.py, round 3), XLA fuses this accumulation well (15.2 ms at
+    500K) and beats the Pallas kernel (26.3 ms) — the opposite of the
+    n-body eval.  The kernel remains selectable and is asserted equal
+    in tests/test_boids_window.py.
     """
     npad = s_pos.shape[1]
     ng = npad // gsz
+    if use_pallas is None:
+        use_pallas = False
+    if use_pallas:
+        from spatialsim_tpu.ops.boids_window_kernel import (
+            boids_window_pallas)
+        grp_row = (s_grpf if s_grpf is not None
+                   else jnp.zeros((1, npad), jnp.float32))
+        state16 = jnp.concatenate(
+            [s_pos, grp_row, s_vel, s_col,
+             jnp.zeros((6, npad), jnp.float32)], axis=0)
+        rows = boids_window_pallas(
+            state16, gsz=gsz, wg=wg,
+            perception_sq=float(perception_sq),
+            separation_sq=float(separation_sq),
+            prev_wg=(float(prev_wg if prev_wg is not None else wg)
+                     if s_grpf is not None else None))
+
+        def sh(r3):
+            return jnp.moveaxis(r3.reshape(3, ng, gsz), 1, 0)
+        return (sh(rows[0:3]),
+                rows[12].reshape(ng, gsz).astype(jnp.int32),
+                sh(rows[3:6]), sh(rows[6:9]), sh(rows[9:12]),
+                rows[13].reshape(ng, gsz).astype(jnp.int32))
     W = (2 * wg + 1) * gsz
 
     def shifts(a, fill):

@@ -206,9 +206,10 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
     :class:`WindowBHState`.
     """
     from spatialsim_tpu.ops.bh_window import (
-        WindowBHState, _build_kw, build_lists, far_eval_tensor)
+        WindowBHState, _build_kw, build_lists, build_lists_sorted)
     from spatialsim_tpu.ops.bh_eval_kernel import pallas_window_eval
     from spatialsim_tpu.ops.integrator import integrate
+    from spatialsim_tpu.parallel.distsort import sample_sort_local
 
     from spatialsim_tpu.config.nbody import resolve_config
     config = resolve_config(config, n)
@@ -222,6 +223,12 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
     ngl = ng // D
     nlb = n // D
     kw = _build_kw(config)
+    # Spatial neighbour groups can live outside the halo; the sharded
+    # engine covers seams by deep traversal instead (config.near_groups
+    # docs).  Ranges power refreshes, which need global prefix sums the
+    # halo can't provide — skip building them.
+    kw["near_groups"] = 0
+    kw["with_ranges"] = False
     interval = config.rebuild_interval
     skin = float(config.skin)
     drift_mode = getattr(config, "rebuild_drift_mode", "max")
@@ -257,33 +264,75 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
                 [(i + 1, i) for i in range(D - 1)])
 
             def do_rebuild(args):
-                # Full gathers live only on this (rare) branch.
-                pos_f = jax.lax.all_gather(pos_l, axis, axis=1, tiled=True)
-                vel_f = jax.lax.all_gather(vel_l, axis, axis=1, tiled=True)
-                mass_f = jax.lax.all_gather(mass_l, axis, tiled=True)
-                acc_f = (jax.lax.all_gather(acc_l, axis, axis=1,
+                # DISTRIBUTED sample-sort: each device sorts only its
+                # shard and ships bodies to their owners (one
+                # all_to_all); the replicated argsort(N) of round 2
+                # survives only as the static-cap-overflow fallback.
+                # The subsequent all_gather ships the already-SORTED
+                # state for the (replicated) octree + this device's
+                # group-slice traversal.
+                half_g = jax.lax.pmax(compute_bounds(pos_l), axis)
+                codes_l = morton_encode(pos_l, half_g,
+                                        kw["max_depth"])
+                frows = [pos_l, vel_l, mass_l[None, :]]
+                if advance2:
+                    frows.append(acc_l)
+                prev_slot = (dev * nlb + jnp.arange(nlb, dtype=jnp.int32)
+                             )[None, :]
+                sc_, sf_, si_, ok = sample_sort_local(
+                    codes_l, jnp.concatenate(frows, axis=0), prev_slot,
+                    axis=axis, ndev=D)
+
+                def gather_dist(_):
+                    sp = jax.lax.all_gather(sf_[0:3], axis, axis=1,
                                             tiled=True)
-                         if advance2 else None)
-                nl = build_lists(pos_f, vel_f, mass_f, acc_f,
-                                 group_offset=dev * ngl, n_groups=ngl,
-                                 **kw)
+                    sv = jax.lax.all_gather(sf_[3:6], axis, axis=1,
+                                            tiled=True)
+                    sm = jax.lax.all_gather(sf_[6], axis, tiled=True)
+                    sa = (jax.lax.all_gather(sf_[7:10], axis, axis=1,
+                                             tiled=True)
+                          if advance2 else jnp.zeros((0, n)))
+                    o = jax.lax.all_gather(si_[0], axis, tiled=True)
+                    return sp, sv, sm, sa, o
+
+                def gather_rep(_):
+                    pos_f = jax.lax.all_gather(pos_l, axis, axis=1,
+                                               tiled=True)
+                    vel_f = jax.lax.all_gather(vel_l, axis, axis=1,
+                                               tiled=True)
+                    mass_f = jax.lax.all_gather(mass_l, axis, tiled=True)
+                    acc_f = (jax.lax.all_gather(acc_l, axis, axis=1,
+                                                tiled=True)
+                             if advance2 else jnp.zeros((0, n)))
+                    codes = morton_encode(pos_f, half_g, kw["max_depth"])
+                    o = jnp.argsort(codes).astype(jnp.int32)
+                    return (pos_f[:, o], vel_f[:, o], mass_f[o],
+                            acc_f[:, o] if advance2 else acc_f, o)
+
+                s_pos_f, s_vel_f, s_mass_f, s_acc_f, o = jax.lax.cond(
+                    ok, gather_dist, gather_rep, None)
+                skw = {k: v for k, v in kw.items()}
+                nl = build_lists_sorted(
+                    s_pos_f, s_vel_f, s_mass_f,
+                    s_acc_f if advance2 else None, order=o,
+                    group_offset=dev * ngl, n_groups=ngl, **skw)
                 o = nl.order                  # new slot -> previous slot
-                o_real = o[:n]
                 to_orig = order[o]
-                o_inv = jnp.zeros((n,), jnp.int32).at[o_real].set(
+                o_inv = jnp.zeros((n,), jnp.int32).at[o].set(
                     jnp.arange(n, dtype=jnp.int32))
                 inv_new = o_inv[inv_order]
-                my = jax.lax.dynamic_slice_in_dim(o_real, dev * nlb, nlb)
-                pos_l2 = pos_f[:, my]
-                vel_l2 = vel_f[:, my]
-                mass_l2 = mass_f[my]
+                pos_l2 = jax.lax.dynamic_slice_in_dim(
+                    s_pos_f, dev * nlb, nlb, axis=1)
+                vel_l2 = jax.lax.dynamic_slice_in_dim(
+                    s_vel_f, dev * nlb, nlb, axis=1)
+                mass_l2 = jax.lax.dynamic_slice_in_dim(
+                    s_mass_f, dev * nlb, nlb)
                 # Haloed eval inputs sliced straight from the re-sorted
                 # full arrays (the pre-exchanged halos used the OLD
-                # layout).
+                # layout); no permutation gather — the state IS sorted.
                 pm_f = jnp.pad(
                     jnp.concatenate(
-                        [pos_f[:, o_real], mass_f[o_real][None, :]],
-                        axis=0),
+                        [s_pos_f, s_mass_f[None, :]], axis=0),
                     ((0, 0), (halo, halo)))
                 pm_h = jax.lax.dynamic_slice_in_dim(
                     pm_f, dev * nlb, nlb + 2 * halo, axis=1)
@@ -308,18 +357,20 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
                 (pos_l, vel_l, mass_l, order, inv_order, far_l, far_n_l,
                  ref_l, ss))
 
-            far4 = far_eval_tensor(far2, ss2, dt, quad, tau_clamp)
-            shared4 = jnp.zeros((1, far4.shape[1], 128), jnp.float32)
+            shared4 = jnp.zeros((1, far2.shape[1], 128), jnp.float32)
             shared_n = jnp.zeros((1,), jnp.int32)
 
             # Haloed eval: inputs are purely local (+halos), so one
             # kernel serves every device (round 2 needed a lax.switch
             # over D compiled offsets) and the output IS this device's
-            # sorted shard — integrate directly, no collective.
+            # sorted shard — integrate directly, no collective.  Raw
+            # stored entries; the kernel applies the τ advance itself.
             acc_l = pallas_window_eval(
-                pm_h[0:3], pm_h[3], far4, farn2, shared4, shared_n,
+                pm_h[0:3], pm_h[3], far2, farn2, shared4, shared_n,
+                None, ss2, dt,
                 G=Gf, softening=config.softening, group_size=gsz,
-                window_groups=wg, supergroup=ngl, haloed=True)
+                window_groups=wg, supergroup=ngl, haloed=True,
+                tau_clamp=tau_clamp)
 
             pos3, vel3 = integrate(pos_l2, vel_l2, acc_l, dt, damping)
             acc_carry = acc_l if advance2 else None
@@ -361,6 +412,9 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
     def init_fn(pos, vel, mass):
         acc0 = jnp.zeros_like(pos) if advance2 else None
         lists = build_lists(pos, vel, mass, acc0, **kw)
+        # The sharded step never refreshes (halo-local moments can't see
+        # remote ranges); drop the refresh machinery's arrays.
+        lists = lists._replace(far_range=None, steps_build=None)
         o_real = lists.order[:n]
         pos_s = pos[:, o_real]
         vel_s = vel[:, o_real]

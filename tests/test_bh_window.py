@@ -303,3 +303,129 @@ def test_host_scheduled_step_matches_in_graph(monkeypatch):
     assert int(st.lists.steps_since) == int(ref.lists.steps_since)
     np.testing.assert_allclose(np.asarray(st.pos), np.asarray(ref.pos),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_near_groups_conserve_mass_and_improve_error():
+    """Neighbour-group coverage (config.near_groups): every body is
+    counted exactly once (window + near + far + residual mass == total
+    per group), and the exact near field never worsens force error."""
+    n = 4096
+    pos, vel, mass = _bodies(n, seed=7)
+    exact = np.asarray(allpairs_accel_reference(pos, mass, 0.1, 2.0))
+
+    errs = {}
+    for K in (0, 6):
+        cfg = _cfg(max_depth=7, group_size=64, window_groups=2,
+                   list_capacity=4096, skin=2.0, near_groups=K)
+        lists = build_lists(pos, vel, mass, **_build_kw(cfg))
+        gsz = 64
+        npad = lists.order.shape[0]
+        ng = npad // gsz
+        s_mass = np.asarray(mass[lists.order])
+        gmass = s_mass.reshape(ng, gsz).sum(1)
+        far = np.asarray(lists.far)
+        far_n = np.asarray(lists.far_n)
+        near = np.asarray(lists.near)
+        total = float(mass.sum())
+        k = np.arange(far.shape[2])[None, :]
+        fmass = np.where(k < far_n[:, None], far[:, 6, :], 0.0).sum(1)
+        for g in range(ng):
+            wmass = gmass[max(0, g - 2):min(ng, g + 3)].sum()
+            nmass = (gmass[[i for i in near[g] if i >= 0]].sum()
+                     if K else 0.0)
+            assert abs(wmass + nmass + fmass[g] - total) < 1e-2 * total, \
+                (K, g)
+
+        acc = window_bh_accel(pos, vel, mass, cfg)
+        errs[K] = float(np.median(_err_over_rms(acc, exact)))
+    # The exact near field replaces approximated far entries: median
+    # error must not get worse (allow float noise).
+    assert errs[6] <= errs[0] * 1.05 + 1e-5, errs
+
+
+def test_near_groups_pallas_matches_xla():
+    n = 4096
+    pos, vel, mass = _bodies(n, seed=9)
+    cfg = _cfg(max_depth=7, group_size=64, window_groups=2,
+               list_capacity=4096, skin=2.0, near_groups=6)
+    a_x = np.asarray(window_bh_accel(pos, vel, mass, cfg, use_pallas=False))
+    a_p = np.asarray(window_bh_accel(pos, vel, mass, cfg, use_pallas=True))
+    np.testing.assert_allclose(a_p, a_x, rtol=2e-4, atol=2e-4)
+
+
+def test_near_groups_stepper_runs():
+    n = 2048
+    pos, vel, mass = _bodies(n, seed=11)
+    cfg = _cfg(max_depth=7, group_size=64, window_groups=2,
+               list_capacity=2048, skin=2.0, near_groups=4,
+               rebuild_interval=3, rebuild_drift_mode="off")
+    st = init_window_state(pos, vel, mass, cfg)
+    step = make_window_step(cfg, n, substeps=2)
+    for _ in range(3):      # crosses a rebuild
+        st = step(st, jnp.float32(0.02))
+    assert np.isfinite(np.asarray(st.pos)).all()
+    assert st.lists.near.shape == (n // 64, 4)
+
+
+def test_refresh_rematerializes_exact_moments():
+    """refresh_lists: after drift, every ranged entry's monopole equals a
+    direct segment recompute over the current sorted state."""
+    from spatialsim_tpu.ops.bh_window import build_lists, refresh_lists
+    n = 2048
+    pos, vel, mass = _bodies(n, seed=21)
+    cfg = _cfg(max_depth=7, group_size=64, window_groups=2,
+               list_capacity=2048, skin=2.0)
+    lists = build_lists(pos, vel, mass, **_build_kw(cfg))
+    s_pos = pos[:, lists.order][:, :n]
+    s_vel = vel[:, lists.order][:, :n]
+    s_mass = mass[lists.order][:n]
+    moved = s_pos + 0.3 * s_vel          # drifted state, same sort
+    nl = refresh_lists(lists, moved, s_vel, s_mass)
+    fr = np.asarray(lists.far_range)
+    far = np.asarray(nl.far)
+    fn = np.asarray(nl.far_n)
+    sp = np.asarray(moved)
+    sm = np.asarray(s_mass)
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        g = int(rng.integers(0, far.shape[0]))
+        if fn[g] == 0:
+            continue
+        slot = int(rng.integers(0, fn[g]))
+        s0, e0 = fr[g, 0, slot], fr[g, 1, slot]
+        if e0 <= s0:
+            continue
+        seg_m = sm[s0:e0].sum()
+        if seg_m <= 0:
+            continue
+        com = (sp[:, s0:e0] * sm[s0:e0]).sum(1) / seg_m
+        np.testing.assert_allclose(far[g, 0:3, slot], com, atol=5e-3)
+        np.testing.assert_allclose(far[g, 6, slot], seg_m, rtol=1e-5)
+    assert int(nl.steps_since) == 0
+
+
+def test_refresh_beats_frozen_advance():
+    """Aged lists WITH periodic refresh track the oracle better than the
+    same-age frozen lists (the round-2 staleness tail)."""
+    from spatialsim_tpu.ops.bh_window import eval_accel_sorted
+    n = 4096
+    pos, vel, mass = _bodies(n, seed=23)
+    exactfn = lambda st: allpairs_accel_reference(
+        st.pos[:, :], st.mass, 0.1, 2.0)
+    errs = {}
+    for riv in (0, 4):
+        cfg = _cfg(max_depth=7, group_size=64, window_groups=2,
+                   list_capacity=4096, skin=2.0,
+                   rebuild_interval=10 ** 6, refresh_interval=riv,
+                   rebuild_drift_mode="off")
+        st = init_window_state(pos, vel, mass, cfg)
+        step = make_window_step(cfg, n, substeps=4)
+        for _ in range(6):     # age 24 steps
+            st = step(st, jnp.float32(0.05))
+        stale = eval_accel_sorted(
+            st.lists, st.pos, st.mass, jnp.float32(0.05), G=0.1,
+            softening=2.0, group_size=64, window_groups=2,
+            use_pallas=False)
+        exact = exactfn(st)
+        errs[riv] = float(np.median(_err_over_rms(stale, exact)))
+    assert errs[4] <= errs[0] + 1e-6, errs

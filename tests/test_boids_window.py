@@ -207,3 +207,25 @@ def test_frozen_orders_capture_survives_resort_interval():
         group_size=128, window_groups=2, return_counts=True, **kw)
     captured = float(jnp.sum(nb_stale)) / max(float(jnp.sum(nb_fresh)), 1.0)
     assert captured >= 0.99, captured
+
+
+def test_window_accumulate_pallas_matches_xla():
+    """The column-source Pallas accumulator (boids_window_kernel) equals
+    the XLA oracle form, with and without the pass-2 dedup."""
+    from spatialsim_tpu.ops.boids_ops import _window_accumulate
+    rng = np.random.default_rng(11)
+    n, gsz, wg = 1024, 64, 2
+    pos = jnp.asarray((rng.random((3, n)) - 0.5) * 120, jnp.float32)
+    vel = jnp.asarray((rng.random((3, n)) - 0.5) * 10, jnp.float32)
+    col = jnp.asarray(rng.random((3, n)), jnp.float32)
+    grp = jnp.asarray(rng.integers(0, n // gsz, n), jnp.float32)[None, :]
+    kw = dict(gsz=gsz, wg=wg, perception_sq=jnp.float32(25.0 ** 2),
+              separation_sq=jnp.float32(10.0 ** 2))
+    for grpf, prev in ((None, None), (grp, 2)):
+        ref = _window_accumulate(pos, vel, col, grpf, prev_wg=prev,
+                                 use_pallas=False, **kw)
+        pal = _window_accumulate(pos, vel, col, grpf, prev_wg=prev,
+                                 use_pallas=True, **kw)
+        for a, b in zip(ref, pal):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=2e-4)
