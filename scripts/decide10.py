@@ -48,7 +48,7 @@ def main():
     vel = jnp.asarray(v.T, jnp.float32)
     mass = jnp.asarray(m, jnp.float32)
     lists = build_lists(pos, vel, mass, jnp.zeros_like(pos),
-                        **_build_kw(cfg))
+                        **{**_build_kw(cfg), "pool_tile": 0})
     npad = lists.order.shape[0]
     pos_s = pos[:, lists.order[:n]]
     mass_s = mass[lists.order[:n]]

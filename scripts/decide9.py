@@ -50,7 +50,7 @@ def main():
         cfg = base.replace(group_size=gsz, window_groups=wg,
                            list_capacity=L)
         lists = build_lists(pos, vel, mass, jnp.zeros_like(pos),
-                            **_build_kw(cfg))
+                            **{**_build_kw(cfg), "pool_tile": 0})
         npad = lists.order.shape[0]
         pos_s = pos[:, lists.order[:n]]
         mass_s = mass[lists.order[:n]]

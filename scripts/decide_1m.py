@@ -83,6 +83,7 @@ def main():
         cfg = base.replace(list_capacity=L, near_groups=K,
                            worklist_budget=B)
         kw = _build_kw(cfg)
+    kw["pool_tile"] = 0   # these sweeps exercise the dense layout
         try:
             t_b = timeit(lambda: build_lists(pos, vel, mass, acc0, **kw))
             lists = build_lists(pos, vel, mass, acc0, **kw)

@@ -45,6 +45,7 @@ def main():
     vel = jnp.asarray(v.T, jnp.float32)
     mass = jnp.asarray(m, jnp.float32)
     kw = _build_kw(cfg)
+    kw["pool_tile"] = 0   # these sweeps exercise the dense layout
     acc0 = jnp.zeros_like(pos)
 
     t_build = timeit(lambda: build_lists(pos, vel, mass, acc0, **kw))

@@ -45,6 +45,7 @@ def main():
     for L in (6144, 2048):
         cfg = base.replace(list_capacity=L)
         kw = _build_kw(cfg)
+    kw["pool_tile"] = 0   # these sweeps exercise the dense layout
         t_b = timeit(lambda: build_lists(pos, vel, mass, acc0, **kw))
         lists = build_lists(pos, vel, mass, acc0, **kw)
         fn = np.asarray(lists.far_n)

@@ -32,7 +32,7 @@ def main():
     vel = jnp.asarray(v.T, jnp.float32)
     mass = jnp.asarray(m, jnp.float32)
 
-    lists = build_lists(pos, vel, mass, **_build_kw(cfg))
+    lists = build_lists(pos, vel, mass, **{**_build_kw(cfg), "pool_tile": 0})
     gsz = cfg.group_size
     npad = lists.order.shape[0]
     ng = npad // gsz

@@ -58,13 +58,14 @@ def main():
     # acceptance decay — the quantity that now sets rebuild_interval.
     refresh_iv = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     dt = jnp.float32(0.02)
-    cfg = NBodyConfig(
+    from spatialsim_tpu.config.nbody import resolve_config
+    cfg = resolve_config(NBodyConfig(
         num_bodies=n, theta=0.8, G=0.1, softening=2.0, spawn_radius=500.0,
         distribution="galaxy", engine="window", max_depth=8, group_size=gsz,
         window_groups=wg, list_capacity=6144, skin=skin,
         rebuild_interval=10 ** 6, rebuild_drift_mode="off",
         refresh_interval=refresh_iv,
-        use_quadrupole=False)
+        use_quadrupole=False), n)
     pp, vv, mm = distributions.generate_distribution(
         "galaxy", n, cfg.spawn_radius, cfg.G, seed=0)
     pos = jnp.asarray(pp.T, jnp.float32)

@@ -131,6 +131,14 @@ class NBodyConfig:
     # 0 = auto: max(256K, 4.2*npad), capped at 6M up to 4.2M bodies,
     # 10M up to 20M, 40M beyond (ops/bh_window._auto_budget).
     worklist_budget: int = 0
+    # Far-list tile-pool compaction (ops/bh_window.build_pool): tile
+    # size in entries, 0 = dense (ng, R, L) layout.  The pool stores
+    # only ~ceil(far_n/tile) tiles per group — ~4-5x less far HBM and
+    # DMA at 1M and the difference between fitting and not at EXTREME
+    # scales — and makes moment refreshes ~4x cheaper.  Monopole only
+    # (use_quadrupole forces dense); the sharded engine forces dense
+    # (its halo eval reads per-device blocks).
+    pool_tile: int = 512
 
     # dt cap applied inside the simulation step (reference simulation.py:802).
     max_dt: float = 0.02

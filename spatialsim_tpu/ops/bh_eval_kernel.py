@@ -316,6 +316,117 @@ def _eval_kernel_mxu(adv_ref, far_n_ref, shared_n_ref, *rest, soft_sq, G,
             out_ref[0:3, base + i0:base + i0 + iblk] = acc3.T
 
 
+def _eval_kernel_pool(adv_ref, pstart_ref, far_n_ref, *rest, soft_sq, G,
+                      gsz, tile, n_views, gpp, wg, iblk=0):
+    """Pool-compacted variant of :func:`_eval_kernel`.
+
+    Far entries stream from the HBM tile pool with double-buffered
+    manual DMA — only ceil(far_n/tile) tiles per group move, vs the
+    dense path's whole (R, L) fixed-cap block (~4-5x the bytes at 1M).
+    The far loop is hoisted OUT of the target-block loop (a tile is
+    DMA'd once and applied to every i-block); window/target structure
+    matches :func:`_eval_kernel` (staged span + MXU target transpose).
+    The dead supergroup-shared lists are not carried here at all.
+    """
+    window_refs = rest[:n_views]
+    pool_ref = rest[n_views]
+    out_ref = rest[n_views + 1]
+    wspan = rest[n_views + 2]
+    bufs = rest[n_views + 3]          # (2, POOL_ROWS, tile) VMEM
+    sems = rest[n_views + 4]          # (2,) DMA semaphores
+
+    p = pl.program_id(0)
+    n_window = 2 * wg + 1
+    if not iblk:
+        iblk = min(gsz, 512 if gsz <= 512 else 256)
+    nblk = gsz // iblk
+
+    for k in range(n_views):
+        wspan[:, k * gsz:(k + 1) * gsz] = window_refs[k][:]
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (gsz, gsz), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (gsz, gsz), 1)
+    eye = jnp.where(ii == jj, 1.0, 0.0).astype(jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+
+    for j in range(gpp):
+        g = p * gpp + j
+        base = j * gsz
+        tgtT = jax.lax.dot_general(
+            eye, window_refs[j + wg][0:3, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi)
+
+        tg = [(tgtT[i0:i0 + iblk, 0:1], tgtT[i0:i0 + iblk, 1:2],
+               tgtT[i0:i0 + iblk, 2:3])
+              for i0 in range(0, gsz, iblk)]
+        accs = tuple(jnp.zeros((iblk, 1), jnp.float32)
+                     for _ in range(3 * nblk))
+
+        # Window: same staged-span fori_loop as the dense kernel.
+        def win_body(k, accs, j=j, tg=tg):
+            off = pl.multiple_of((j + k) * gsz, gsz)
+            sx = wspan[0:1, pl.ds(off, gsz)]
+            sy = wspan[1:2, pl.ds(off, gsz)]
+            sz = wspan[2:3, pl.ds(off, gsz)]
+            sm = wspan[3:4, pl.ds(off, gsz)]
+            out = []
+            for bi, (xi, yi, zi) in enumerate(tg):
+                dax, day, daz = _pair_accum(xi, yi, zi, sx, sy, sz, sm,
+                                            soft_sq)
+                out += [accs[3 * bi] + dax, accs[3 * bi + 1] + day,
+                        accs[3 * bi + 2] + daz]
+            return tuple(out)
+
+        accs = jax.lax.fori_loop(0, n_window, win_body, accs)
+
+        # Far pool: double-buffered tile stream, one DMA per tile.
+        t0 = pstart_ref[g]
+        n_t = (far_n_ref[g] + tile - 1) // tile
+
+        def start(t, t0=t0):
+            slot = jax.lax.rem(t, 2)
+            pltpu.make_async_copy(pool_ref.at[t0 + t], bufs.at[slot],
+                                  sems.at[slot]).start()
+
+        @pl.when(n_t > 0)
+        def _():
+            start(0)
+
+        def far_body(t, accs, t0=t0, n_t=n_t, tg=tg):
+            slot = jax.lax.rem(t, 2)
+            pltpu.make_async_copy(pool_ref.at[t0 + t], bufs.at[slot],
+                                  sems.at[slot]).wait()
+
+            @pl.when(t + 1 < n_t)
+            def _():
+                start(t + 1)
+
+            tau = adv_ref[0, 0]
+            c2 = adv_ref[0, 1]
+            fx = (bufs[slot, 0:1, :] + bufs[slot, 3:4, :] * tau
+                  + bufs[slot, 7:8, :] * c2)
+            fy = (bufs[slot, 1:2, :] + bufs[slot, 4:5, :] * tau
+                  + bufs[slot, 8:9, :] * c2)
+            fz = (bufs[slot, 2:3, :] + bufs[slot, 5:6, :] * tau
+                  + bufs[slot, 9:10, :] * c2)
+            fm = bufs[slot, 6:7, :]
+            out = []
+            for bi, (xi, yi, zi) in enumerate(tg):
+                dax, day, daz = _pair_accum(xi, yi, zi, fx, fy, fz, fm,
+                                            soft_sq)
+                out += [accs[3 * bi] + dax, accs[3 * bi + 1] + day,
+                        accs[3 * bi + 2] + daz]
+            return tuple(out)
+
+        accs = jax.lax.fori_loop(0, n_t, far_body, accs)
+
+        for bi, i0 in enumerate(range(0, gsz, iblk)):
+            acc3 = jnp.concatenate(
+                [accs[3 * bi] * G, accs[3 * bi + 1] * G,
+                 accs[3 * bi + 2] * G], axis=1)
+            out_ref[0:3, base + i0:base + i0 + iblk] = acc3.T
+
+
 def _eval_kernel(adv_ref, far_n_ref, shared_n_ref, *rest, soft_sq, G, gsz,
                  far_tile, n_views, gpp, wg, supergroup, n_near=0,
                  iblk=0, dbg="", tgt_mode="mxu"):
@@ -460,6 +571,95 @@ def _eval_kernel(adv_ref, far_n_ref, shared_n_ref, *rest, soft_sq, G, gsz,
             else:
                 acc3 = jnp.concatenate([ax * G, ay * G, az * G], axis=1)
                 out_ref[0:3, base + i0:base + i0 + iblk] = acc3.T
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("G", "softening", "group_size", "window_groups",
+                     "groups_per_program", "tau_clamp", "iblk"))
+def pallas_window_eval_pool(s_pos, s_mass, pool, pstart, far_n,
+                            steps_since, dt, *, G, softening,
+                            group_size=256, window_groups=2,
+                            groups_per_program=4, tau_clamp=24.0,
+                            iblk=0):
+    """Fused window + POOLED far-list accelerations (production path).
+
+    Like :func:`pallas_window_eval` but the far lists arrive as the
+    compacted tile pool (``bh_window.build_pool``): the kernel streams
+    each group's ceil(far_n/tile) tiles from HBM with double-buffered
+    manual DMA instead of fetching a dense fixed-cap block.  Monopole
+    only; the dead supergroup-shared lists are not carried.
+    """
+    gsz = group_size
+    wg = window_groups
+    npad = s_pos.shape[1]
+    ng = npad // gsz
+    ct, rows, tile = pool.shape
+    assert rows == 16
+    gpp = max(1, groups_per_program)
+    ng2 = ((ng + gpp - 1) // gpp) * gpp
+    gpad = ng2 - ng
+    soft_sq = float(softening) ** 2
+
+    tau = jnp.asarray(steps_since, jnp.float32) * jnp.asarray(
+        dt, jnp.float32)
+    tc = jnp.minimum(tau, jnp.float32(tau_clamp) * jnp.asarray(
+        dt, jnp.float32))
+    adv = jnp.stack([tau, tc * tau - 0.5 * tc * tc]).reshape(1, 2)
+
+    pos8 = jnp.concatenate(
+        [s_pos, s_mass[None, :], jnp.zeros((4, npad), jnp.float32)],
+        axis=0)
+    pos8_winpad = jax.lax.dynamic_slice_in_dim(
+        jnp.pad(pos8, ((0, 0), (wg * gsz, (wg + gpad) * gsz))),
+        0, (ng2 + 2 * wg) * gsz, axis=1)
+    if gpad:
+        pstart = jnp.pad(pstart, (0, gpad))
+        far_n = jnp.pad(far_n, (0, gpad))
+
+    n_views = gpp + 2 * wg
+    in_specs = [pl.BlockSpec(
+        (8, gsz), (lambda g, *_, k=k: (0, g * gpp + k)),
+        memory_space=pltpu.VMEM) for k in range(n_views)]
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    in_specs.append(pl.BlockSpec((1, 2), lambda g, *_: (0, 0),
+                                 memory_space=pltpu.SMEM))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ng2 // gpp,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((8, gpp * gsz), lambda g, *_: (0, g),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((8, n_views * gsz), jnp.float32),
+            pltpu.VMEM((2, rows, tile), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    def kernel(pstart_ref, far_n_ref, *args):
+        adv_ref = args[n_views + 1]
+        rest = args[:n_views + 1] + args[n_views + 2:]
+        _eval_kernel_pool(
+            adv_ref, pstart_ref, far_n_ref, *rest,
+            soft_sq=soft_sq, G=float(G), gsz=gsz, tile=tile,
+            n_views=n_views, gpp=gpp, wg=wg, iblk=iblk)
+
+    interpret = jax.default_backend() != "tpu"
+    n_window = 2 * wg + 1
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, ng2 * gsz), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=int(ng) * gsz * (n_window * gsz + 2048) * 17,
+            bytes_accessed=ng * gsz * 8 * 4 + ct * rows * tile * 4,
+            transcendentals=int(ng) * gsz * (n_window * gsz + 2048)),
+        interpret=interpret,
+    )(pstart, far_n, *([pos8_winpad] * n_views), pool, adv)
+
+    return out[:3, :ng * gsz]
 
 
 @functools.partial(

@@ -94,6 +94,17 @@ class BHLists(NamedTuple):
     # ``steps_since`` counts since the last refresh (drives the frozen-
     # entry advance τ).  Equal when refresh is off.
     steps_build: jax.Array | None = None
+    # COMPACTED tile pool of the far lists (:func:`build_pool`):
+    # (cap_tiles, 16, tile) f32, rows [com3, vel3, mass, acc3,
+    # fs_hi, fs_lo, fe_hi, fe_lo, 0, 0] — group g's entries live in
+    # tiles [pstart[g], pstart[g] + ceil(far_n[g]/tile)), each a
+    # contiguous 16*tile*4-byte block the eval kernel streams with
+    # double-buffered manual DMA.  Cuts far HBM ~4-5x vs the dense
+    # (ng, R, L) tensor (whose fixed-cap blocks the eval fetched whole)
+    # and refresh gathers ~4x.  None = dense layout (sharded /
+    # quadrupole paths).
+    pool: jax.Array | None = None
+    pstart: jax.Array | None = None   # (ng,) int32 first pool tile
     # NOTE: entries are rows-major x entries-minor so the minor (lane)
     # dimension is the large one — (entries, R) layouts pad R -> 128 on
     # TPU (up to 16x HBM blowup).
@@ -581,11 +592,12 @@ def _default_wl_caps(ng: int, n_levels: int, budget: int, c0: int = 64):
     static_argnames=("theta", "softening", "skin", "max_depth", "group_size",
                      "window_groups", "list_cap", "worklist_budget",
                      "n_groups", "quadrupole", "near_groups",
-                     "with_ranges"))
+                     "with_ranges", "pool_tile"))
 def build_lists(pos, vel, mass, acc=None, *, theta, softening, skin=4.0,
                 max_depth=10, group_size=256, window_groups=3, list_cap=2048,
                 worklist_budget=0, group_offset=0, n_groups=None,
-                quadrupole=False, near_groups=0, with_ranges=True):
+                quadrupole=False, near_groups=0, with_ranges=True,
+                pool_tile=0):
     """Morton-sort + octree + global-worklist traversal -> :class:`BHLists`.
 
     The traversal visits all (group, cell) pairs of one octree level in a
@@ -625,7 +637,8 @@ def build_lists(pos, vel, mass, acc=None, *, theta, softening, skin=4.0,
         window_groups=window_groups, list_cap=list_cap,
         worklist_budget=worklist_budget, group_offset=group_offset,
         n_groups=n_groups, quadrupole=quadrupole,
-        near_groups=near_groups, with_ranges=with_ranges)
+        near_groups=near_groups, with_ranges=with_ranges,
+        pool_tile=pool_tile)
 
 
 @functools.partial(
@@ -633,12 +646,12 @@ def build_lists(pos, vel, mass, acc=None, *, theta, softening, skin=4.0,
     static_argnames=("theta", "softening", "skin", "max_depth",
                      "group_size", "window_groups", "list_cap",
                      "worklist_budget", "n_groups", "quadrupole",
-                     "near_groups", "with_ranges"))
+                     "near_groups", "with_ranges", "pool_tile"))
 def build_lists_sorted(s_pos, s_vel, s_mass, s_acc=None, *, order, theta,
                        softening, skin=4.0, max_depth=10, group_size=256,
                        window_groups=3, list_cap=2048, worklist_budget=0,
                        group_offset=0, n_groups=None, quadrupole=False,
-                       near_groups=0, with_ranges=True):
+                       near_groups=0, with_ranges=True, pool_tile=0):
     """:func:`build_lists` for ALREADY globally Morton-sorted state.
 
     Entry point for the distributed rebuild
@@ -660,14 +673,15 @@ def build_lists_sorted(s_pos, s_vel, s_mass, s_acc=None, *, order, theta,
         window_groups=window_groups, list_cap=list_cap,
         worklist_budget=worklist_budget, group_offset=group_offset,
         n_groups=n_groups, quadrupole=quadrupole,
-        near_groups=near_groups, with_ranges=with_ranges)
+        near_groups=near_groups, with_ranges=with_ranges,
+        pool_tile=pool_tile)
 
 
 def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
                        order_pad, pos, n, half, *, theta, softening, skin,
                        max_depth, group_size, window_groups, list_cap,
                        worklist_budget, group_offset, n_groups,
-                       quadrupole, near_groups, with_ranges):
+                       quadrupole, near_groups, with_ranges, pool_tile):
     gsz = group_size
     npad = s_pos.shape[1]
     acc = s_acc
@@ -710,10 +724,19 @@ def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
             with_ranges=with_ranges)
     shared = jnp.zeros((1, far.shape[1], 128), jnp.float32)
     shared_n = jnp.zeros((1,), jnp.int32)
-    return _finish_lists(far, far_range, far_n, sl_start, sl_end, sl_n,
-                         res, shared, shared_n, s_pos, s_vel, s_mass,
-                         order, order_pad, pos, n, list_cap, s_acc=s_acc,
-                         near=near)
+    lists = _finish_lists(far, far_range, far_n, sl_start, sl_end,
+                          sl_n, res, shared, shared_n, s_pos, s_vel,
+                          s_mass, order, order_pad, pos, n, list_cap,
+                          s_acc=s_acc, near=near)
+    if pool_tile:
+        assert not quadrupole, "pool layout is monopole-only"
+        cap = pool_cap_tiles(budget, ng, pool_tile)
+        pool, pstart = build_pool(lists.far, lists.far_range,
+                                  lists.far_n, tile=pool_tile,
+                                  cap_tiles=cap)
+        lists = lists._replace(pool=pool, pstart=pstart, far=None,
+                               far_range=None)
+    return lists
 
 
 def _finish_lists(far, far_range, far_n, sl_start, sl_end, sl_n, res,
@@ -800,9 +823,22 @@ def _finish_lists(far, far_range, far_n, sl_start, sl_end, sl_n, res,
     if done < n_rows:
         rparts.append(jnp.zeros((ng, n_rows - done), jnp.float32))
     res_entry = jnp.concatenate(rparts, axis=1)                 # (ng, R)
-    far = far.at[:, :, list_cap - 1].set(
-        jnp.where(has_res[:, None], res_entry, far[:, :, list_cap - 1]))
-    far_n = jnp.where(has_res, list_cap, far_n)
+    # APPEND the residual right after the real entries (round 2 parked
+    # it at the fixed last slot and bumped far_n to L, making every
+    # overflow group pay a full-L eval and blocking tight pool
+    # compaction).
+    slot = jnp.minimum(far_n, list_cap - 1)
+    gi_ = jnp.arange(ng)[:, None]
+    ri_ = jnp.arange(n_rows)[None, :]
+    far = far.at[gi_, ri_, slot[:, None]].set(
+        jnp.where(has_res[:, None], res_entry, far[gi_, ri_,
+                                                   slot[:, None]]))
+    if far_range is not None:
+        ri2 = jnp.arange(2)[None, :]
+        far_range = far_range.at[gi_, ri2, slot[:, None]].set(
+            jnp.where(has_res[:, None], 0,
+                      far_range[gi_, ri2, slot[:, None]]))
+    far_n = jnp.minimum(far_n + has_res.astype(jnp.int32), list_cap)
 
     inv_order = jnp.zeros((n,), jnp.int32).at[order].set(
         jnp.arange(n, dtype=jnp.int32))
@@ -813,6 +849,77 @@ def _finish_lists(far, far_range, far_n, sl_start, sl_end, sl_n, res,
                    shared=shared.astype(jnp.float32), shared_n=shared_n,
                    ref_pos=pos, steps_since=jnp.int32(0), near=near,
                    far_range=far_range, steps_build=jnp.int32(0))
+
+
+POOL_ROWS = 16
+
+
+def pool_cap_tiles(budget: int, ng: int, tile: int) -> int:
+    """Static tile capacity that can NEVER overflow.
+
+    Far emissions are bounded by the worklist budget (<= one per
+    visited slot), plus <= SLIVER_CAP sliver entries and one residual
+    per group; tile-ceil waste adds < 1 tile per group.
+    """
+    return (budget + ng * (SLIVER_CAP + 1)) // tile + ng + 1
+
+
+def build_pool(far, far_range, far_n, *, tile, cap_tiles):
+    """Compact dense (ng, R, L) far lists into the tile pool.
+
+    One packed gather (XLA random-access cost is per-INDEX — a 14-row
+    packed gather costs the same as one column, scripts/gather_bench.py)
+    re-materializes every real entry; slots past ``far_n`` and tiles
+    past the group's count read a zero column, so padding entries carry
+    zero mass.  Entry body-ranges ship as exact 16-bit float halves
+    (rows 10-13) — int32 must NOT ride f32 bitcasts on TPU (denormal
+    flush), and f32 can't hold 31-bit indices directly.
+    """
+    ng, R, L = far.shape
+    assert R in (8, 10), "pool layout is monopole-only"
+    tiles_g = (far_n + tile - 1) // tile
+    pstart = (jnp.cumsum(tiles_g) - tiles_g).astype(jnp.int32)
+
+    t_idx = jnp.arange(cap_tiles, dtype=jnp.int32)
+    g_of = (jnp.searchsorted(pstart, t_idx, side="right") - 1).astype(
+        jnp.int32)
+    g_c = jnp.clip(g_of, 0, ng - 1)
+    k_of = t_idx - pstart[g_c]
+    ent = k_of[:, None] * tile + jnp.arange(tile, dtype=jnp.int32)[None]
+    valid = ((t_idx < jnp.sum(tiles_g))[:, None]
+             & (ent < far_n[g_c][:, None]) & (ent < L))
+    idx = jnp.where(valid, g_c[:, None] * L + jnp.minimum(ent, L - 1),
+                    ng * L).reshape(-1)
+
+    farf = far.transpose(1, 0, 2).reshape(R, ng * L)
+    zero = jnp.zeros((ng * L,), jnp.float32)
+    rows = [farf[i] for i in range(7)]
+    rows += ([farf[7 + i] for i in range(3)] if R == 10
+             else [zero] * 3)
+    if far_range is not None:
+        fs = far_range[:, 0, :].reshape(ng * L)
+        fe = far_range[:, 1, :].reshape(ng * L)
+    else:
+        fs = fe = jnp.zeros((ng * L,), jnp.int32)
+    rows += [(fs >> 16).astype(jnp.float32),
+             (fs & 0xFFFF).astype(jnp.float32),
+             (fe >> 16).astype(jnp.float32),
+             (fe & 0xFFFF).astype(jnp.float32)]
+    src = jnp.pad(jnp.stack(rows), ((0, 0), (0, 1)))     # (14, ngL+1)
+    vals = src[:, idx]                                    # ONE gather
+    vals = jnp.concatenate(
+        [vals, jnp.zeros((POOL_ROWS - 14, vals.shape[1]), jnp.float32)])
+    pool = vals.reshape(POOL_ROWS, cap_tiles, tile).transpose(1, 0, 2)
+    return pool, pstart
+
+
+def _pool_ranges(pool):
+    """Decode (fs, fe) int32 body ranges from pool rows 10-13."""
+    ct, _, tile = pool.shape
+    flat = pool.transpose(1, 0, 2).reshape(POOL_ROWS, ct * tile)
+    fs = (flat[10].astype(jnp.int32) << 16) | flat[11].astype(jnp.int32)
+    fe = (flat[12].astype(jnp.int32) << 16) | flat[13].astype(jnp.int32)
+    return fs, fe
 
 
 def refresh_lists(lists: BHLists, pos_s, vel_s, mass_s, acc_s=None,
@@ -839,10 +946,6 @@ def refresh_lists(lists: BHLists, pos_s, vel_s, mass_s, acc_s=None,
     Inputs are SORTED (3, n)/(n,) state arrays (the production layout).
     Returns the refreshed :class:`BHLists`.
     """
-    far = lists.far
-    ng, R, L = far.shape
-    quad, acc0 = far_layout(R)
-    with_acc = acc_s is not None and acc0 is not None
     npad = lists.order.shape[0]
     n = pos_s.shape[1]
     pad = npad - n
@@ -851,8 +954,17 @@ def refresh_lists(lists: BHLists, pos_s, vel_s, mass_s, acc_s=None,
             [pos_s, jnp.broadcast_to(pos_s[:, -1:], (3, pad))], axis=1)
         mass_s = jnp.concatenate([mass_s, jnp.zeros((pad,))])
         vel_s = jnp.concatenate([vel_s, jnp.zeros((3, pad))], axis=1)
-        if with_acc:
+        if acc_s is not None:
             acc_s = jnp.concatenate([acc_s, jnp.zeros((3, pad))], axis=1)
+
+    if lists.pool is not None:
+        return _refresh_pool(lists, pos_s, vel_s, mass_s, acc_s, dt,
+                             tau_clamp)
+
+    far = lists.far
+    ng, R, L = far.shape
+    quad, acc0 = far_layout(R)
+    with_acc = acc_s is not None and acc0 is not None
 
     w = mass_s[None, :]
     cols = [w, pos_s * w, vel_s * w]
@@ -896,6 +1008,49 @@ def refresh_lists(lists: BHLists, pos_s, vel_s, mass_s, acc_s=None,
     valid = (fe > fs).reshape(ng, 1, L)
     far_new = jnp.where(valid, new, rebased)
     return lists._replace(far=far_new, steps_since=jnp.int32(0))
+
+
+def _refresh_pool(lists, pos_s, vel_s, mass_s, acc_s, dt, tau_clamp):
+    """Pool variant of :func:`refresh_lists` (inputs already padded).
+
+    Two packed gathers over ~pool entries instead of ~ng*L slots — the
+    pool's compaction is what makes frequent refreshes affordable.
+    Padding/invalid entries have fs == fe == 0 and refresh to zero
+    mass; rangeless (residual) entries REBASE like the dense path.
+    """
+    pool = lists.pool
+    ct, _, tile = pool.shape
+    with_acc = acc_s is not None
+
+    w = mass_s[None, :]
+    cols = [w, pos_s * w, vel_s * w,
+            (acc_s * w if with_acc
+             else jnp.zeros((3, pos_s.shape[1]), jnp.float32))]
+    pref = jnp.concatenate([
+        jnp.zeros((10, 1), jnp.float32),
+        jnp.cumsum(jnp.concatenate(cols, axis=0), axis=1)], axis=1)
+
+    fs, fe = _pool_ranges(pool)
+    seg = pref[:, fe] - pref[:, fs]                  # 2 packed gathers
+    m = seg[0]
+    inv = jnp.where(m > 0, 1.0 / jnp.maximum(m, 1e-30), 0.0)
+    new10 = jnp.stack([seg[1] * inv, seg[2] * inv, seg[3] * inv,
+                       seg[4] * inv, seg[5] * inv, seg[6] * inv, m,
+                       seg[7] * inv, seg[8] * inv, seg[9] * inv])
+
+    flatp = pool.transpose(1, 0, 2).reshape(POOL_ROWS, ct * tile)
+    tau = lists.steps_since.astype(jnp.float32) * dt
+    tc = jnp.minimum(tau, jnp.float32(tau_clamp) * dt)
+    old_com = (flatp[0:3] + flatp[3:6] * tau
+               + flatp[7:10] * (tc * tau - 0.5 * tc * tc))
+    old_vel = flatp[3:6] + flatp[7:10] * tc
+    rebased = jnp.concatenate([old_com, old_vel, flatp[6:7],
+                               flatp[7:10]])
+    valid = (fe > fs)[None, :]
+    out = jnp.concatenate([jnp.where(valid, new10, rebased),
+                           flatp[10:16]])
+    pool_new = out.reshape(POOL_ROWS, ct, tile).transpose(1, 0, 2)
+    return lists._replace(pool=pool_new, steps_since=jnp.int32(0))
 
 
 # ---------------------------------------------------------------------------
@@ -1007,6 +1162,16 @@ def _eval_sorted_padded(lists: BHLists, s_pos, s_mass, dt, *, G, softening,
     near = lists.near
     K = 0 if near is None else near.shape[1]
 
+    if use_pallas and lists.pool is not None:
+        from spatialsim_tpu.ops.bh_eval_kernel import (
+            pallas_window_eval_pool)
+        return pallas_window_eval_pool(
+            s_pos, s_mass, lists.pool, lists.pstart, lists.far_n,
+            lists.steps_since, dt, G=Gf, softening=softening,
+            group_size=gsz, window_groups=window_groups,
+            groups_per_program=gpp, tau_clamp=float(tau_clamp))
+    assert lists.pool is None, \
+        "pooled lists require the Pallas eval (no XLA oracle path)"
     if use_pallas:
         from spatialsim_tpu.ops.bh_eval_kernel import pallas_window_eval
         # Raw stored tensors go straight in; the kernel advances each
@@ -1195,7 +1360,15 @@ def _build_kw(config):
                 list_cap=config.list_capacity,
                 worklist_budget=getattr(config, "worklist_budget", 0),
                 quadrupole=quad,
-                near_groups=getattr(config, "near_groups", 0))
+                near_groups=getattr(config, "near_groups", 0),
+                # The pool serves the default production path only: the
+                # quadrupole rows, the near-group block reads, and the
+                # XLA oracle eval all read the dense layout.
+                pool_tile=(0 if (quad
+                                 or getattr(config, "near_groups", 0)
+                                 or not getattr(config,
+                                                "use_pallas_eval", True))
+                           else getattr(config, "pool_tile", 0)))
 
 
 # Above this body count the step splits into two device programs with the
@@ -1507,7 +1680,10 @@ def window_bh_accel(pos, vel, mass, config, dt=0.0, use_pallas=None):
     config = resolve_config(config, pos.shape[1])
     if use_pallas is None:
         use_pallas = getattr(config, "use_pallas_eval", True)
-    lists = build_lists(pos, vel, mass, **_build_kw(config))
+    kw = _build_kw(config)
+    if not use_pallas:
+        kw["pool_tile"] = 0    # the XLA oracle reads the dense layout
+    lists = build_lists(pos, vel, mass, **kw)
     return eval_accel(lists, pos, mass, jnp.float32(dt), G=config.G,
                       softening=config.softening,
                       group_size=config.group_size,

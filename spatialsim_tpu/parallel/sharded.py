@@ -229,6 +229,7 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
     # halo can't provide — skip building them.
     kw["near_groups"] = 0
     kw["with_ranges"] = False
+    kw["pool_tile"] = 0   # haloed eval reads dense per-device blocks
     interval = config.rebuild_interval
     skin = float(config.skin)
     drift_mode = getattr(config, "rebuild_drift_mode", "max")

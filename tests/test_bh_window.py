@@ -9,8 +9,9 @@ from spatialsim_tpu.config.nbody import NBodyConfig
 from spatialsim_tpu.models.nbody import NBodyState, make_step_fn, resolve_engine
 from spatialsim_tpu.ops.allpairs import allpairs_accel_reference
 from spatialsim_tpu.ops.bh_window import (
-    WindowBHState, build_lists, init_window_state, make_window_step,
-    state_original_order, window_bh_accel, _build_kw)
+    WindowBHState, build_lists, eval_accel, init_window_state,
+    make_window_step, refresh_lists, state_original_order,
+    window_bh_accel, _build_kw)
 from spatialsim_tpu import distributions
 
 
@@ -317,7 +318,9 @@ def test_near_groups_conserve_mass_and_improve_error():
     for K in (0, 6):
         cfg = _cfg(max_depth=7, group_size=64, window_groups=2,
                    list_capacity=4096, skin=2.0, near_groups=K)
-        lists = build_lists(pos, vel, mass, **_build_kw(cfg))
+        # Dense layout: the assertions below inspect lists.far directly.
+        lists = build_lists(pos, vel, mass,
+                            **{**_build_kw(cfg), "pool_tile": 0})
         gsz = 64
         npad = lists.order.shape[0]
         ng = npad // gsz
@@ -375,7 +378,9 @@ def test_refresh_rematerializes_exact_moments():
     pos, vel, mass = _bodies(n, seed=21)
     cfg = _cfg(max_depth=7, group_size=64, window_groups=2,
                list_capacity=2048, skin=2.0)
-    lists = build_lists(pos, vel, mass, **_build_kw(cfg))
+    # Dense layout: the oracle below reads far/far_range directly.
+    lists = build_lists(pos, vel, mass,
+                        **{**_build_kw(cfg), "pool_tile": 0})
     s_pos = pos[:, lists.order][:, :n]
     s_vel = vel[:, lists.order][:, :n]
     s_mass = mass[lists.order][:n]
@@ -415,7 +420,7 @@ def test_refresh_beats_frozen_advance():
     errs = {}
     for riv in (0, 4):
         cfg = _cfg(max_depth=7, group_size=64, window_groups=2,
-                   list_capacity=4096, skin=2.0,
+                   list_capacity=4096, skin=2.0, pool_tile=0,
                    rebuild_interval=10 ** 6, refresh_interval=riv,
                    rebuild_drift_mode="off")
         st = init_window_state(pos, vel, mass, cfg)
@@ -429,3 +434,47 @@ def test_refresh_beats_frozen_advance():
         exact = exactfn(st)
         errs[riv] = float(np.median(_err_over_rms(stale, exact)))
     assert errs[4] <= errs[0] + 1e-6, errs
+
+
+def test_pool_eval_matches_dense_oracle(rng):
+    """Pool-compacted eval == dense XLA oracle (same entries, same order)."""
+    n = 4096
+    pos = jnp.asarray(rng.normal(size=(3, n)) * 100, jnp.float32)
+    vel = jnp.asarray(rng.normal(size=(3, n)), jnp.float32)
+    mass = jnp.asarray(rng.random(n) + 0.5, jnp.float32)
+    acc0 = jnp.zeros_like(pos)
+    kw = dict(theta=0.8, softening=2.0, skin=2.0, max_depth=6,
+              group_size=256, window_groups=2, list_cap=512)
+    ld = build_lists(pos, vel, mass, acc0, **kw)
+    lp = build_lists(pos, vel, mass, acc0, pool_tile=128, **kw)
+    ek = dict(G=0.1, softening=2.0, group_size=256, window_groups=2)
+    a_d = np.asarray(eval_accel(ld, pos, mass, jnp.float32(0.02),
+                                use_pallas=False, **ek))
+    a_p = np.asarray(eval_accel(lp, pos, mass, jnp.float32(0.02),
+                                use_pallas=True, **ek))
+    assert np.abs(a_p - a_d).max() / np.abs(a_d).max() < 1e-4
+
+
+def test_pool_refresh_matches_dense(rng):
+    """refresh_lists on the pool == refresh on the dense layout."""
+    n = 4096
+    pos = jnp.asarray(rng.normal(size=(3, n)) * 100, jnp.float32)
+    vel = jnp.asarray(rng.normal(size=(3, n)), jnp.float32)
+    mass = jnp.asarray(rng.random(n) + 0.5, jnp.float32)
+    acc0 = jnp.zeros_like(pos)
+    kw = dict(theta=0.8, softening=2.0, skin=2.0, max_depth=6,
+              group_size=256, window_groups=2, list_cap=512)
+    ld = build_lists(pos, vel, mass, acc0, **kw)
+    lp = build_lists(pos, vel, mass, acc0, pool_tile=128, **kw)
+    o = ld.order[:n]
+    pos2 = pos + jnp.asarray(rng.normal(size=(3, n)) * 0.5, jnp.float32)
+    args = (pos2[:, o], vel[:, o], mass[o], jnp.zeros((3, n)), 0.02,
+            24.0)
+    ld2 = refresh_lists(ld, *args)
+    lp2 = refresh_lists(lp, *args)
+    ek = dict(G=0.1, softening=2.0, group_size=256, window_groups=2)
+    b_d = np.asarray(eval_accel(ld2, pos, mass, jnp.float32(0.02),
+                                use_pallas=False, **ek))
+    b_p = np.asarray(eval_accel(lp2, pos, mass, jnp.float32(0.02),
+                                use_pallas=True, **ek))
+    assert np.abs(b_p - b_d).max() / np.abs(b_d).max() < 1e-4
