@@ -621,7 +621,7 @@ def pallas_window_eval_pool(s_pos, s_mass, pool, pstart, far_n,
     in_specs = [pl.BlockSpec(
         (8, gsz), (lambda g, *_, k=k: (0, g * gpp + k)),
         memory_space=pltpu.VMEM) for k in range(n_views)]
-    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     in_specs.append(pl.BlockSpec((1, 2), lambda g, *_: (0, 0),
                                  memory_space=pltpu.SMEM))
 
