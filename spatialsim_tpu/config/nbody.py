@@ -171,6 +171,13 @@ def resolve_config(config: NBodyConfig, n: int) -> NBodyConfig:
                                8192 if n <= 20_000_000 else 2048)
     if config.advance_order == 0:
         kw["advance_order"] = 2
+    if n > 20_000_000 and config.pool_tile:
+        # Pool compaction gathers FROM the dense far tensor INTO the
+        # pool — both live at once during the rebuild.  At 50M that
+        # transient (~6.4 GB dense + ~4 GB pool) would not leave room
+        # for the state; EXTREME scales run the dense layout until the
+        # ranges-only emission lands (NOTES.md round-4 notes).
+        kw["pool_tile"] = 0
     return config.replace(**kw) if kw else config
 
 
