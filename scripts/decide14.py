@@ -45,7 +45,8 @@ def main():
         num_bodies=n, theta=0.8, G=0.1, softening=2.0, damping=1.0,
         spawn_radius=500.0, distribution="galaxy", engine="window",
         skin=2.0, window_groups=wg, worklist_budget=budget,
-        rebuild_interval=48, rebuild_drift_mode="off"), n)
+        pool_tile=512, rebuild_interval=48, rebuild_drift_mode="off"),
+        n)
     p, v, m = distributions.generate_distribution(
         "galaxy", n, base.spawn_radius, base.G, seed=0)
     pos = jnp.asarray(p.T, jnp.float32)

@@ -137,8 +137,11 @@ class NBodyConfig:
     # DMA at 1M and the difference between fitting and not at EXTREME
     # scales — and makes moment refreshes ~4x cheaper.  Monopole only
     # (use_quadrupole forces dense); the sharded engine forces dense
-    # (its halo eval reads per-device blocks).
-    pool_tile: int = 512
+    # (its halo eval reads per-device blocks).  DEFAULT OFF until the
+    # manual-DMA kernel is compile-validated on real TPU hardware (the
+    # tunnel died before scripts/decide14.py could run it; interpret
+    # mode and the full CPU suite pass) — flip to 512 once it is.
+    pool_tile: int = 0
 
     # dt cap applied inside the simulation step (reference simulation.py:802).
     max_dt: float = 0.02
