@@ -161,8 +161,13 @@ def resolve_config(config: NBodyConfig, n: int) -> NBodyConfig:
     """
     kw = {}
     if config.max_depth == 0:
+        # Depth is HBM-bound at the top end: static level capacities are
+        # min(8^l, n), so every level past 8 adds an n-sized slab — at
+        # 50M, depth 10 is ~6-7 GB of tree alone.  The reference's own
+        # EXTREME presets run theta 1.4-1.5 there (coarse acceptance
+        # rarely opens past level 8 at ~3 bodies/leaf-cell).
         kw["max_depth"] = 8 if n <= 2_000_000 else (
-            9 if n <= 20_000_000 else 10)
+            9 if n <= 20_000_000 else 8)
     if config.group_size == 0:
         kw["group_size"] = 256 if n <= 4_000_000 else 1024
     if config.list_capacity == 0:
