@@ -48,7 +48,8 @@ def _sync(x):
 
 def bench_nbody(n, theta, steps, warmup, chain, distribution, engine,
                 group_size, depth, list_cap, skin, rebuild_interval,
-                drift_mode, refresh_interval=0, verbose=False):
+                drift_mode, refresh_interval=0, emit_mode="auto",
+                pool_tile=-1, verbose=False):
     """Sustained steps/s with `chain` physics steps per device dispatch."""
     import jax
     import jax.numpy as jnp
@@ -63,7 +64,10 @@ def bench_nbody(n, theta, steps, warmup, chain, distribution, engine,
                       window_groups=2, list_capacity=list_cap, skin=skin,
                       rebuild_interval=rebuild_interval,
                       refresh_interval=refresh_interval,
-                      rebuild_drift_mode=drift_mode)
+                      rebuild_drift_mode=drift_mode,
+                      traversal_emit=emit_mode)
+    if pool_tile >= 0:
+        cfg = cfg.replace(pool_tile=pool_tile)
     if verbose:
         print(f"[bench] platform={jax.devices()[0].platform} n={n:,} "
               f"theta={theta} engine={engine}", file=sys.stderr)
@@ -154,6 +158,11 @@ def main(argv=None) -> int:
     p.add_argument("--refresh-interval", type=int, default=0,
                    help="moment-refresh cadence between rebuilds (0 off)")
     p.add_argument("--drift-mode", choices=["max", "off"], default="off")
+    p.add_argument("--emit-mode", default="auto",
+                   choices=["auto", "values", "ranges", "kernel"],
+                   help="traversal emission mode (config.traversal_emit)")
+    p.add_argument("--pool-tile", type=int, default=-1,
+                   help="far-list pool tile (-1 = config default)")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -170,7 +179,9 @@ def main(argv=None) -> int:
                 distribution=args.distribution, group_size=args.group_size,
                 depth=args.depth, list_cap=args.list_cap,
                 rebuild_interval=args.rebuild_interval,
-                refresh_interval=args.refresh_interval, **common)
+                refresh_interval=args.refresh_interval,
+                emit_mode=args.emit_mode, pool_tile=args.pool_tile,
+                **common)
             baseline = reference_steps_per_sec(n, args.theta)
             print(json.dumps({
                 "metric": f"nbody_steps_per_sec_{n // 1000}k_theta{args.theta}",

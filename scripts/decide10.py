@@ -99,11 +99,10 @@ def main():
                 else lists.far_n)
         try:
             t = timeit(lambda: pallas_window_eval(
-                s_pos, s_mass, lists.far, farn, lists.shared,
-                lists.shared_n, None, lists.steps_since,
+                s_pos, s_mass, lists.far, farn, None, lists.steps_since,
                 jnp.float32(0.02), G=cfg.G, softening=cfg.softening,
                 group_size=gsz, window_groups=wg,
-                supergroup=npad // gsz,
+                
                 groups_per_program=kw.pop("groups_per_program", gpp),
                 no_cost=True, **kw))
             print(f"  {tag}: {t*1e3:.1f} ms", flush=True)

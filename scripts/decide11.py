@@ -71,21 +71,19 @@ def main():
 
         def mk_chain(K, farn):
             @jax.jit
-            def chain(sp, s_mass, far, farn, shared, shared_n):
+            def chain(sp, s_mass, far, farn):
                 def body(c, _):
                     acc = pallas_window_eval(
-                        c, s_mass, far, farn, shared,
-                        shared_n, None, lists.steps_since,
+                        c, s_mass, far, farn, None, lists.steps_since,
                         jnp.float32(0.02), G=cfg.G,
                         softening=cfg.softening, group_size=gsz,
-                        window_groups=wg, supergroup=npad // gsz,
+                        window_groups=wg,
                         groups_per_program=gpp, no_cost=True,
                         tgt_mode=tm)
                     return c + 1e-12 * acc[:, :npad] * 0.0 + 1e-30 * acc[:, :npad], None
                 out, _ = jax.lax.scan(body, sp, None, length=K)
                 return out
-            return lambda sp, fn=farn: chain(sp, s_mass, lists.far, fn,
-                                             lists.shared, lists.shared_n)
+            return lambda sp, fn=farn: chain(sp, s_mass, lists.far, fn)
 
         try:
             c1 = mk_chain(1, lists.far_n)

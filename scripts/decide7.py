@@ -75,10 +75,9 @@ def run(n, gsz, wg, gpp):
     ):
         try:
             t = timeit(lambda: pallas_window_eval(
-                s_pos, s_mass, lists.far, farn, lists.shared,
-                lists.shared_n, None, lists.steps_since,
+                s_pos, s_mass, lists.far, farn, None, lists.steps_since,
                 jnp.float32(0.02), G=cfg.G, softening=cfg.softening,
-                group_size=gsz, window_groups=wg, supergroup=npad // gsz,
+                group_size=gsz, window_groups=wg, 
                 groups_per_program=gpp, dbg=dbg))
             print(f"  {tag}: {t*1e3:.1f} ms", flush=True)
         except Exception as e:  # noqa: BLE001

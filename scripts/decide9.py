@@ -66,11 +66,10 @@ def main():
         ):
             try:
                 t = timeit(lambda: pallas_window_eval(
-                    s_pos, s_mass, lists.far, lists.far_n, lists.shared,
-                    lists.shared_n, None, lists.steps_since,
+                    s_pos, s_mass, lists.far, lists.far_n, None, lists.steps_since,
                     jnp.float32(0.02), G=cfg.G, softening=cfg.softening,
                     group_size=gsz, window_groups=wg,
-                    supergroup=npad // gsz, groups_per_program=gpp,
+                     groups_per_program=gpp,
                     no_cost=True, **kw))
                 print(f"  L={L} {tag}: {t*1e3:.1f} ms", flush=True)
             except Exception as e:  # noqa: BLE001

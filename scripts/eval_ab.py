@@ -68,12 +68,10 @@ def main():
     common = dict(G=cfg.G, softening=cfg.softening, group_size=gsz,
                   window_groups=cfg.window_groups,
                   far_tile=cfg.eval_far_tile,
-                  groups_per_program=cfg.eval_groups_per_program,
-                  supergroup=npad // gsz)
+                  groups_per_program=cfg.eval_groups_per_program)
     for tag, mx in (("vpu", False), ("mxu", True)):
         t = timeit(lambda mx=mx: pallas_window_eval(
-            s_pos, s_mass, lists.far, lists.far_n, lists.shared,
-            lists.shared_n, None, lists.steps_since, jnp.float32(0.02),
+            s_pos, s_mass, lists.far, lists.far_n, None, lists.steps_since, jnp.float32(0.02),
             use_mxu=mx, **common))
         print(f"kernel-only eval [{tag}]: {t*1e3:.1f} ms", flush=True)
 

@@ -142,6 +142,18 @@ class NBodyConfig:
     # tunnel died before scripts/decide14.py could run it; interpret
     # mode and the full CPU suite pass) — flip to 512 once it is.
     pool_tile: int = 0
+    # Traversal emission mode: "values" scatters every entry's moment
+    # columns during traversal (7-10 f32 columns/level); "ranges"
+    # scatters only the (start, end) body range (2 int32 columns) and
+    # re-materializes moments from prefix sums at finish — with the pool
+    # on, straight into the pool, so the dense (ng, R, L) transient
+    # never exists (the enabler for pooled EXTREME scales).  "kernel"
+    # additionally replaces the whole XLA worklist traversal with the
+    # sequential in-VMEM Pallas DFS (ops/bh_traverse_kernel.py; <= 2M
+    # bodies, near_groups 0; the XLA path stays in-graph as the
+    # overflow fallback).  "auto" = ranges exactly when the pool is on.
+    # Quadrupole and the sharded (rangeless) build always emit values.
+    traversal_emit: str = "auto"
 
     # dt cap applied inside the simulation step (reference simulation.py:802).
     max_dt: float = 0.02
@@ -179,12 +191,14 @@ def resolve_config(config: NBodyConfig, n: int) -> NBodyConfig:
                                8192 if n <= 20_000_000 else 2048)
     if config.advance_order == 0:
         kw["advance_order"] = 2
-    if n > 20_000_000 and config.pool_tile:
-        # Pool compaction gathers FROM the dense far tensor INTO the
-        # pool — both live at once during the rebuild.  At 50M that
-        # transient (~6.4 GB dense + ~4 GB pool) would not leave room
-        # for the state; EXTREME scales run the dense layout until the
-        # ranges-only emission lands (NOTES.md round-4 notes).
+    if (n > 20_000_000 and config.pool_tile
+            and config.traversal_emit == "values"):
+        # Value-emitting pool compaction gathers FROM the dense far
+        # tensor INTO the pool — both live at once during the rebuild,
+        # and at 50M that transient (~6.4 GB dense + ~4 GB pool) would
+        # not leave room for the state.  The default "auto"/"ranges"
+        # emission materializes moments straight into the pool
+        # (ops/bh_window._finish_pool_ranges) and has no such transient.
         kw["pool_tile"] = 0
     return config.replace(**kw) if kw else config
 

@@ -179,8 +179,8 @@ def _accum_cols(colr, xi, yi, zi, acc, soft_sq, sc, n_chunks):
     return jax.lax.fori_loop(0, n_chunks, chunk, acc)
 
 
-def _eval_kernel_cols(adv_ref, far_n_ref, shared_n_ref, *rest, soft_sq, G,
-                      gsz, far_tile, n_views, gpp, wg, supergroup,
+def _eval_kernel_cols(adv_ref, far_n_ref, *rest, soft_sq, G,
+                      gsz, far_tile, n_views, gpp, wg,
                       n_near=0, sc=8):
     """Column-source variant of :func:`_eval_kernel` (monopole lists).
 
@@ -198,9 +198,8 @@ def _eval_kernel_cols(adv_ref, far_n_ref, shared_n_ref, *rest, soft_sq, G,
     window_refs = rest[:n_views]
     near_refs = rest[n_views + 1:n_views + 1 + gpp * n_near]
     far_ref = rest[n_views + 1 + gpp * n_near]
-    shared_ref = rest[n_views + 1 + gpp * n_near + 1]
-    out_ref = rest[n_views + 1 + gpp * n_near + 2]
-    colr = rest[n_views + 1 + gpp * n_near + 3]  # (max(gsz, tile), 8) VMEM
+    out_ref = rest[n_views + 1 + gpp * n_near + 1]
+    colr = rest[n_views + 1 + gpp * n_near + 2]  # (max(gsz, tile), 8) VMEM
 
     p = pl.program_id(0)
     n_window = 2 * wg + 1
@@ -245,8 +244,6 @@ def _eval_kernel_cols(adv_ref, far_n_ref, shared_n_ref, *rest, soft_sq, G,
                 return jax.lax.fori_loop(0, n_tiles, tile_body, acc)
 
             acc = list_loop(far_ref, j, far_n_ref[g], acc)
-            sg = jnp.minimum(g // supergroup, shared_n_ref.shape[0] - 1)
-            acc = list_loop(shared_ref, 0, shared_n_ref[sg], acc)
 
             ax, ay, az = acc
             out_ref[0:3, base + b:base + b + TL] = jnp.concatenate(
@@ -255,15 +252,14 @@ def _eval_kernel_cols(adv_ref, far_n_ref, shared_n_ref, *rest, soft_sq, G,
                  jnp.sum(az, axis=0, keepdims=True)], axis=0) * G
 
 
-def _eval_kernel_mxu(adv_ref, far_n_ref, shared_n_ref, *rest, soft_sq, G,
-                     gsz, far_tile, n_views, gpp, wg, supergroup, n_near=0):
+def _eval_kernel_mxu(adv_ref, far_n_ref, *rest, soft_sq, G,
+                     gsz, far_tile, n_views, gpp, wg, n_near=0):
     """MXU variant of :func:`_eval_kernel` (monopole lists only)."""
     window_refs = rest[:n_views]
     tgtT_ref = rest[n_views]
     near_refs = rest[n_views + 1:n_views + 1 + gpp * n_near]
     far_ref = rest[n_views + 1 + gpp * n_near]
-    shared_ref = rest[n_views + 1 + gpp * n_near + 1]
-    out_ref = rest[n_views + 1 + gpp * n_near + 2]
+    out_ref = rest[n_views + 1 + gpp * n_near + 1]
 
     p = pl.program_id(0)
     n_window = 2 * wg + 1
@@ -309,8 +305,6 @@ def _eval_kernel_mxu(adv_ref, far_n_ref, shared_n_ref, *rest, soft_sq, G,
                 return jax.lax.fori_loop(0, n_tiles, tile_body, carry)
 
             wp, ws = list_loop(far_ref, j, far_n_ref[g], (wp, ws))
-            sg = jnp.minimum(g // supergroup, shared_n_ref.shape[0] - 1)
-            wp, ws = list_loop(shared_ref, 0, shared_n_ref[sg], (wp, ws))
 
             acc3 = (wp - tgt_c * ws) * G                        # (iblk, 3)
             out_ref[0:3, base + i0:base + i0 + iblk] = acc3.T
@@ -326,7 +320,7 @@ def _eval_kernel_pool(adv_ref, pstart_ref, far_n_ref, *rest, soft_sq, G,
     The far loop is hoisted OUT of the target-block loop (a tile is
     DMA'd once and applied to every i-block); window/target structure
     matches :func:`_eval_kernel` (staged span + MXU target transpose).
-    The dead supergroup-shared lists are not carried here at all.
+    Monopole only.
     """
     window_refs = rest[:n_views]
     pool_ref = rest[n_views]
@@ -427,17 +421,16 @@ def _eval_kernel_pool(adv_ref, pstart_ref, far_n_ref, *rest, soft_sq, G,
             out_ref[0:3, base + i0:base + i0 + iblk] = acc3.T
 
 
-def _eval_kernel(adv_ref, far_n_ref, shared_n_ref, *rest, soft_sq, G, gsz,
-                 far_tile, n_views, gpp, wg, supergroup, n_near=0,
+def _eval_kernel(adv_ref, far_n_ref, *rest, soft_sq, G, gsz,
+                 far_tile, n_views, gpp, wg, n_near=0,
                  iblk=0, dbg="", tgt_mode="mxu"):
     nt = 1 if tgt_mode == "pre" else 0
     window_refs = rest[:n_views]
     tgtT_ref = rest[n_views] if nt else None
     near_refs = rest[n_views + nt:n_views + nt + gpp * n_near]
     far_ref = rest[n_views + nt + gpp * n_near]
-    shared_ref = rest[n_views + nt + gpp * n_near + 1]
-    out_ref = rest[n_views + nt + gpp * n_near + 2]
-    wspan = rest[n_views + nt + gpp * n_near + 3]  # (8, n_views*gsz) VMEM
+    out_ref = rest[n_views + nt + gpp * n_near + 1]
+    wspan = rest[n_views + nt + gpp * n_near + 2]  # (8, n_views*gsz) VMEM
 
     p = pl.program_id(0)
     n_window = 2 * wg + 1
@@ -555,11 +548,6 @@ def _eval_kernel(adv_ref, far_n_ref, shared_n_ref, *rest, soft_sq, G, gsz,
                 return jax.lax.fori_loop(0, n_tiles, tile_body, carry)
 
             ax, ay, az = list_loop(far_ref, j, far_n_ref[g], (ax, ay, az))
-            # Clamp the supergroup index: zero-padded tail groups (g >= ng)
-            # would otherwise read one slot past the (nsg,) count array.
-            sg = jnp.minimum(g // supergroup, shared_n_ref.shape[0] - 1)
-            ax, ay, az = list_loop(shared_ref, 0, shared_n_ref[sg],
-                                   (ax, ay, az))
 
             if "nouttr" in dbg:
                 # Keep the dependency on the accumulators but skip the
@@ -588,7 +576,7 @@ def pallas_window_eval_pool(s_pos, s_mass, pool, pstart, far_n,
     compacted tile pool (``bh_window.build_pool``): the kernel streams
     each group's ceil(far_n/tile) tiles from HBM with double-buffered
     manual DMA instead of fetching a dense fixed-cap block.  Monopole
-    only; the dead supergroup-shared lists are not carried.
+    only.
     """
     gsz = group_size
     wg = window_groups
@@ -665,19 +653,19 @@ def pallas_window_eval_pool(s_pos, s_mass, pool, pstart, far_n,
 @functools.partial(
     jax.jit,
     static_argnames=("G", "softening", "group_size", "window_groups",
-                     "far_tile", "supergroup", "local_slice",
+                     "far_tile", "local_slice",
                      "groups_per_program", "haloed", "use_mxu",
                      "use_cols", "tau_clamp", "iblk", "dbg", "vmem_mb",
                      "no_cost", "tgt_mode"))
-def pallas_window_eval(s_pos, s_mass, far, far_n, shared, shared_n,
+def pallas_window_eval(s_pos, s_mass, far, far_n,
                        near=None, steps_since=0, dt=0.0, *,
                        G, softening, group_size=512, window_groups=3,
-                       far_tile=512, supergroup=1, local_slice=None,
+                       far_tile=512, local_slice=None,
                        groups_per_program=4, haloed=False,
                        use_mxu=False, use_cols=False, tau_clamp=24.0,
                        iblk=0, dbg="", vmem_mb=0, no_cost=False,
                        tgt_mode="mxu"):
-    """Fused near-window + far-list (+ supergroup-shared) accelerations.
+    """Fused near-window + far-list accelerations.
 
     Args:
       s_pos: ``(3, npad)`` f32 sorted positions (npad multiple of group).
@@ -689,11 +677,8 @@ def pallas_window_eval(s_pos, s_mass, far, far_n, shared, shared_n,
         far_eval_tensor burned ~1.3 GB of HBM round-trip per step at
         1M).  R 13/16 selects the quadrupole pair math.
       far_n: ``(ng,)`` int32 actual entry counts.
-      shared: ``(nsg, R, Ls)`` f32 supergroup-shared entries (raw rows).
-      shared_n: ``(nsg,)`` int32.
       steps_since, dt: advance inputs (traced scalars).
       tau_clamp: static curvature horizon (steps) for the quadratic term.
-      supergroup: groups per supergroup (g -> shared row g // supergroup).
       use_mxu: static — route monopole pair math through the MXU
         |a|²+|b|²−2ab form.  MEASURED SLOWER on v5e (77.5 vs 48.6 ms at
         1M: K=3 / 3-wide matmuls waste full MXU passes per 128×128
@@ -702,9 +687,8 @@ def pallas_window_eval(s_pos, s_mass, far, far_n, shared, shared_n,
         only that contiguous group range (the multi-chip path hands each
         device its group shard; ``s_pos``/``s_mass`` stay global so the
         Morton windows cross shard boundaries correctly).
-      groups_per_program: groups evaluated by one Pallas program (clamped
-        to the supergroup size so the shared row stays constant within a
-        program; the group axis is zero-padded to a multiple).
+      groups_per_program: groups evaluated by one Pallas program (the
+        group axis is zero-padded to a multiple).
       haloed: static — ``s_pos``/``s_mass`` already carry ``window_groups``
         halo groups on EACH side of the evaluated range (the sharded
         step's ppermute halo exchange); ``far4``/``far_n`` cover only the
@@ -724,24 +708,10 @@ def pallas_window_eval(s_pos, s_mass, far, far_n, shared, shared_n,
         offset, ng = local_slice or (0, npad // gsz)
     R = far.shape[1]
     L = far.shape[2]
-    Rs = shared.shape[1]
-    Ls = shared.shape[2]
     soft_sq = float(softening) ** 2
-    S = supergroup
-    nsg_in = shared.shape[0]
-    gpp = max(1, min(groups_per_program, S))
-    # gpp must DIVIDE the supergroup size when MULTIPLE shared rows
-    # exist: the shared BlockSpec fetches one row per program at
-    # (g*gpp)//S, so a program straddling two supergroups would read the
-    # wrong shared entries.  With a single (zero-filled) shared row the
-    # row is constant regardless — and shrinking gpp there is a real
-    # regression (ng is often prime; gpp=1 re-adds ~15 ms of per-program
-    # overhead at 1M, measured round 3).
-    while nsg_in > 1 and S % gpp:
-        gpp -= 1
+    gpp = max(1, groups_per_program)
     ng2 = ((ng + gpp - 1) // gpp) * gpp
     gpad = ng2 - ng
-    nsg = shared.shape[0]
 
     # In-kernel advance scalars: τ and the clamped quadratic coefficient
     # coef₂ = t_c·τ − t_c²/2.  Passed as a (1, 2) SMEM tensor input (the
@@ -794,7 +764,7 @@ def pallas_window_eval(s_pos, s_mass, far, far_n, shared, shared_n,
         far_n = jnp.pad(far_n, (0, gpad))
 
     n_views = gpp + 2 * wg
-    n_prefetch = 3 if K else 2
+    n_prefetch = 2 if K else 1
     # Kernel selection decides the target path: the default row kernel
     # transposes targets IN-KERNEL on the MXU (identity-matmul trick —
     # Mosaic's plain transposes and XLA's pre-transpose both cost
@@ -848,10 +818,6 @@ def pallas_window_eval(s_pos, s_mass, far, far_n, shared, shared_n,
                     memory_space=pltpu.VMEM))
     in_specs.append(pl.BlockSpec((gpp, R, L), lambda g, *_: (g, 0, 0),
                                  memory_space=pltpu.VMEM))
-    in_specs.append(pl.BlockSpec(
-        (1, Rs, Ls), lambda g, *_: (jnp.minimum((g * gpp) // S, nsg - 1),
-                                    0, 0),
-        memory_space=pltpu.VMEM))
     in_specs.append(pl.BlockSpec((1, 2), lambda g, *_: (0, 0),
                                  memory_space=pltpu.SMEM))
 
@@ -877,7 +843,7 @@ def pallas_window_eval(s_pos, s_mass, far, far_n, shared, shared_n,
     )
 
     def kernel(*args):
-        far_n_ref, shared_n_ref = args[n_prefetch - 2:n_prefetch]
+        far_n_ref = args[n_prefetch - 1]
         if scratch:
             rest = args[n_prefetch:-3] + args[-2:]   # inputs, out, colr
             adv_ref = args[-3]
@@ -886,23 +852,22 @@ def pallas_window_eval(s_pos, s_mass, far, far_n, shared, shared_n,
             adv_ref = args[-2]
         extra = ({"iblk": iblk, "dbg": dbg, "tgt_mode": tgt_eff}
                  if body is _eval_kernel else {})
-        body(adv_ref, far_n_ref, shared_n_ref, *rest,
+        body(adv_ref, far_n_ref, *rest,
              soft_sq=soft_sq, G=float(G), gsz=gsz,
              far_tile=far_tile, n_views=n_views, gpp=gpp, wg=wg,
-             supergroup=S, n_near=K, **extra)
+             n_near=K, **extra)
 
     interpret = jax.default_backend() != "tpu"
     flops_far = 40 if R in (13, 16) else 20
     n_window = 2 * wg + 1
-    prefetch_args = (nb, far_n, shared_n) if K else (far_n, shared_n)
+    prefetch_args = (nb, far_n) if K else (far_n,)
     extra_kw = {}
     if not no_cost:
         extra_kw["cost_estimate"] = pl.CostEstimate(
             flops=int(ng) * gsz * ((n_window + K) * gsz * 17
-                                   + (L + Ls) * flops_far),
+                                   + L * flops_far),
             bytes_accessed=ng * gsz * 8 * 4 + ng * R * L * 4,
-            transcendentals=int(ng) * gsz * ((n_window + K) * gsz
-                                             + L + Ls))
+            transcendentals=int(ng) * gsz * ((n_window + K) * gsz + L))
     if vmem_mb:
         extra_kw["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=vmem_mb * 1024 * 1024,
@@ -915,6 +880,6 @@ def pallas_window_eval(s_pos, s_mass, far, far_n, shared, shared_n,
         **extra_kw,
     )(*prefetch_args,
       *([pos8_winpad] * n_views), *tgt_in,
-      *([pos8_winpad] * (gpp * K)), far, shared, adv)
+      *([pos8_winpad] * (gpp * K)), far, adv)
 
     return out[:3, :ng * gsz]

@@ -76,8 +76,6 @@ class BHLists(NamedTuple):
     # acceleration, 13 with traceless quadrupole, 16 with both.
     far: jax.Array          # (ng, R, L) f32
     far_n: jax.Array        # (ng,) int32 actual entry counts
-    shared: jax.Array       # (nsg, R, Ls) f32 supergroup-shared entries
-    shared_n: jax.Array     # (nsg,) int32
     ref_pos: jax.Array      # (3, N) sorted positions at build (drift check)
     steps_since: jax.Array  # () int32 steps since build
     # Spatial neighbour groups (config.near_groups): (ng, K) int32 global
@@ -202,6 +200,48 @@ def _exclusive_cumsum(x):
     return jnp.cumsum(x) - x
 
 
+def _comp_prefix(x):
+    """Compensated (hi+lo double-f32) inclusive prefix, 0-led.
+
+    ``x``: (P, npad) rows.  Returns (2P, npad+1) stacked [hi; lo].
+
+    A plain f32 cumsum rounds every partial to ulp(global magnitude), so
+    a SHORT segment recovered as ``pref[e] - pref[s]`` loses nearly all
+    its bits once the running sum dwarfs it — at 10M bodies a
+    single-body mass extracted from a ~1.25e7 prefix is wrong by O(1),
+    and m·x rows are worse (measured: 1-body far entries off by ~1.5
+    units of com at 65K bodies already).  Fast2Sum recovers each
+    accumulation step's rounding error exactly (when |Σ| >= |x_i|;
+    otherwise it is bounded by the local element's own ulp, which f32
+    data carries anyway), and ``lo`` accumulates those residuals.  At
+    use (:func:`_comp_seg`) the hi difference is EXACT by Sterbenz's
+    lemma precisely in the dangerous close-values case, and adding the
+    lo difference restores the lost bits — ~48-bit segment sums from
+    pure f32 ops, with hi and lo riding the SAME packed gather (per-
+    index gather cost unchanged).
+    """
+    hi = jnp.cumsum(x, axis=1)
+    hi_prev = jnp.concatenate(
+        [jnp.zeros_like(hi[:, :1]), hi[:, :-1]], axis=1)
+    r = (hi_prev - hi) + x                    # Fast2Sum residual
+    lo = jnp.cumsum(r, axis=1)
+    z = jnp.zeros_like(hi[:, :1])
+    return jnp.concatenate(
+        [jnp.concatenate([z, hi], axis=1),
+         jnp.concatenate([z, lo], axis=1)], axis=0)
+
+
+def _comp_seg(pref2, s, e):
+    """Segment sums over compensated prefixes (see :func:`_comp_prefix`).
+
+    ``s``/``e`` are int index arrays of any matching shape; returns
+    (P,) + s.shape segment sums.
+    """
+    P = pref2.shape[0] // 2
+    d = pref2[:, e] - pref2[:, s]             # 2 packed gathers
+    return d[:P] + d[P:]
+
+
 # ---------------------------------------------------------------------------
 # Rebuild: traversal emitting clipped far ranges
 # ---------------------------------------------------------------------------
@@ -251,7 +291,8 @@ def _pack_levels(tree, quadrupole, with_acc):
 
 def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
                      gsz, intervals, list_cap, n_levels, wl_caps,
-                     quadrupole=False, with_acc=False, with_ranges=True):
+                     quadrupole=False, with_acc=False, with_ranges=True,
+                     emit_values=True):
     """Global-worklist traversal: all (group, cell) pairs of one level in
     one flat, group-major list.
 
@@ -276,8 +317,23 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
     bounds gather, the emission value scatters (~5 ns/column) and the
     child-run reconstruction; everything else is vector math.
 
-    Returns (far_vals (ng, L, 8), far_n, sl_start, sl_end, sl_n).
+    ``emit_values=False`` (requires ``with_ranges`` and monopole layout)
+    scatters ONLY the entry body ranges — 2 int32 columns instead of the
+    7-10 value columns — and returns ``far=None``; the caller
+    re-materializes every entry's moments from prefix sums over the
+    sorted state (:func:`_finish_lists` dense path or
+    :func:`_finish_pool_ranges` straight into the tile pool).  Cell
+    moments ARE segment sums of the sorted arrays (cells are contiguous
+    sorted runs), so the result is the same up to f32 association.
+    Quadrupole layouts must emit values: the central second moment
+    recovered from global-coordinate prefix sums (S₂ − M·com·comᵀ)
+    cancels ~5 digits at world-scale offsets.
+
+    Returns (far_vals (ng, R, L) | None, far_range, far_n, sl_start,
+    sl_end, sl_n, res, wl_sizes).
     """
+    if not emit_values:
+        assert with_ranges and not quadrupole
     levels = tree.levels
     packed_levels = _pack_levels(tree, quadrupole, with_acc)
     theta_sq = theta * theta
@@ -294,7 +350,8 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
     # Columnar storage throughout: (W,) and (ng*L,) flat vectors only.
     # Row-major (W, k) arrays tile as T(8,128) on TPU and pad the tiny
     # minor dimension up to 43x — both a memory and bandwidth disaster.
-    far_cols = [jnp.zeros((ng * L,), jnp.float32) for _ in range(n_cols)]
+    far_cols = ([jnp.zeros((ng * L,), jnp.float32) for _ in range(n_cols)]
+                if emit_values else None)
     # Entry body ranges (refresh machinery; skipped when the caller
     # can't use refreshes — e.g. the sharded engine).
     fr_s = jnp.zeros((ng * L,), jnp.int32) if with_ranges else None
@@ -352,9 +409,10 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
         # Columnar entry values [cx, cy, cz, vx, vy, vz, mass (, q6) (,
         # acc3)] are the packed rows themselves (mass re-gated to 0 for
         # inactive slots); the traceless quadrupole was converted once per
-        # cell at pack time.
-        vals = (A[0], A[1], A[2], A[3], A[4], A[5], cmass) \
-            + tuple(A[i] for i in range(7, n_cols))
+        # cell at pack time.  Ranges-only emission never touches them.
+        vals = ((A[0], A[1], A[2], A[3], A[4], A[5], cmass)
+                + tuple(A[i] for i in range(7, n_cols))
+                if emit_values else None)
 
         B = bounds[:, gidx]                        # (6, W)
         gmin = B[0:3]
@@ -401,8 +459,9 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
             local = far_n[gidx] + (excl - base[gidx])
             ok = mask & (local < L - 1)
             flat = jnp.where(ok, gidx * L + local, ng * L)
-            far_cols = [fc.at[flat].set(v, mode="drop")
-                        for fc, v in zip(far_cols, vals)]
+            if emit_values:
+                far_cols = [fc.at[flat].set(v, mode="drop")
+                            for fc, v in zip(far_cols, vals)]
             if with_ranges:
                 fr_s = fr_s.at[flat].set(cstart, mode="drop")
                 fr_e = fr_e.at[flat].set(cend, mode="drop")
@@ -419,8 +478,9 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
                 contribs = (w, ccom[0] * w, ccom[1] * w, ccom[2] * w,
                             cvel[0] * w, cvel[1] * w, cvel[2] * w)
                 if with_acc:
-                    contribs = contribs + (vals[-3] * w, vals[-2] * w,
-                                           vals[-1] * w)
+                    contribs = contribs + (A[n_cols - 3] * w,
+                                           A[n_cols - 2] * w,
+                                           A[n_cols - 1] * w)
                 return [rc.at[res_idx].add(c, mode="drop")
                         for rc, c in zip(res_cols, contribs)]
 
@@ -534,10 +594,13 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
     # Rows are exactly the emitted columns (see far_layout): 8 plain
     # monopole (one pad row), 10 with acc, 13 with quadrupole, 16 both —
     # no zero-filled placeholder segments.
-    grid = [fc.reshape(ng, L) for fc in far_cols]
-    if n_cols == 7:
-        grid.append(jnp.zeros((ng, L), jnp.float32))
-    far = jnp.stack(grid, axis=1)                             # (ng, R, L)
+    if emit_values:
+        grid = [fc.reshape(ng, L) for fc in far_cols]
+        if n_cols == 7:
+            grid.append(jnp.zeros((ng, L), jnp.float32))
+        far = jnp.stack(grid, axis=1)                         # (ng, R, L)
+    else:
+        far = None
     far_range = (jnp.stack([fr_s.reshape(ng, L), fr_e.reshape(ng, L)],
                            axis=1)                            # (ng, 2, L)
                  if with_ranges else None)
@@ -592,12 +655,12 @@ def _default_wl_caps(ng: int, n_levels: int, budget: int, c0: int = 64):
     static_argnames=("theta", "softening", "skin", "max_depth", "group_size",
                      "window_groups", "list_cap", "worklist_budget",
                      "n_groups", "quadrupole", "near_groups",
-                     "with_ranges", "pool_tile"))
+                     "with_ranges", "pool_tile", "emit_mode"))
 def build_lists(pos, vel, mass, acc=None, *, theta, softening, skin=4.0,
                 max_depth=10, group_size=256, window_groups=3, list_cap=2048,
                 worklist_budget=0, group_offset=0, n_groups=None,
                 quadrupole=False, near_groups=0, with_ranges=True,
-                pool_tile=0):
+                pool_tile=0, emit_mode="auto"):
     """Morton-sort + octree + global-worklist traversal -> :class:`BHLists`.
 
     The traversal visits all (group, cell) pairs of one octree level in a
@@ -638,7 +701,7 @@ def build_lists(pos, vel, mass, acc=None, *, theta, softening, skin=4.0,
         worklist_budget=worklist_budget, group_offset=group_offset,
         n_groups=n_groups, quadrupole=quadrupole,
         near_groups=near_groups, with_ranges=with_ranges,
-        pool_tile=pool_tile)
+        pool_tile=pool_tile, emit_mode=emit_mode)
 
 
 @functools.partial(
@@ -646,12 +709,14 @@ def build_lists(pos, vel, mass, acc=None, *, theta, softening, skin=4.0,
     static_argnames=("theta", "softening", "skin", "max_depth",
                      "group_size", "window_groups", "list_cap",
                      "worklist_budget", "n_groups", "quadrupole",
-                     "near_groups", "with_ranges", "pool_tile"))
+                     "near_groups", "with_ranges", "pool_tile",
+                     "emit_mode"))
 def build_lists_sorted(s_pos, s_vel, s_mass, s_acc=None, *, order, theta,
                        softening, skin=4.0, max_depth=10, group_size=256,
                        window_groups=3, list_cap=2048, worklist_budget=0,
                        group_offset=0, n_groups=None, quadrupole=False,
-                       near_groups=0, with_ranges=True, pool_tile=0):
+                       near_groups=0, with_ranges=True, pool_tile=0,
+                       emit_mode="auto"):
     """:func:`build_lists` for ALREADY globally Morton-sorted state.
 
     Entry point for the distributed rebuild
@@ -674,14 +739,15 @@ def build_lists_sorted(s_pos, s_vel, s_mass, s_acc=None, *, order, theta,
         worklist_budget=worklist_budget, group_offset=group_offset,
         n_groups=n_groups, quadrupole=quadrupole,
         near_groups=near_groups, with_ranges=with_ranges,
-        pool_tile=pool_tile)
+        pool_tile=pool_tile, emit_mode=emit_mode)
 
 
 def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
                        order_pad, pos, n, half, *, theta, softening, skin,
                        max_depth, group_size, window_groups, list_cap,
                        worklist_budget, group_offset, n_groups,
-                       quadrupole, near_groups, with_ranges, pool_tile):
+                       quadrupole, near_groups, with_ranges, pool_tile,
+                       emit_mode="auto"):
     gsz = group_size
     npad = s_pos.shape[1]
     acc = s_acc
@@ -714,18 +780,74 @@ def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
     budget = worklist_budget or _auto_budget(npad)
     wl_caps = _default_wl_caps(ng, n_levels, budget,
                                c0=tree.levels[0].code.shape[0])
-    far, far_range, far_n, sl_start, sl_end, sl_n, res, _wl = \
-        _traverse_global(
-            tree, bbox_min, bbox_max, ng, theta=float(theta),
-            soft_sq=float(softening) ** 2, skin=float(skin), gsz=gsz,
-            intervals=intervals, list_cap=list_cap,
-            n_levels=n_levels, wl_caps=wl_caps,
-            quadrupole=quadrupole, with_acc=acc is not None,
-            with_ranges=with_ranges)
-    shared = jnp.zeros((1, far.shape[1], 128), jnp.float32)
-    shared_n = jnp.zeros((1,), jnp.int32)
+    # Ranges-only emission: 2 int32 scatter columns per level instead of
+    # 9-12, moments re-materialized from prefix sums at finish.  "auto"
+    # enables it exactly where it pays structurally — the pooled path,
+    # where moments then materialize STRAIGHT into the pool and the
+    # dense (ng, R, L) transient never exists (required at EXTREME
+    # scale).  Quadrupole and rangeless (sharded) builds must emit
+    # values (see _traverse_global).
+    emit_ranges = (with_ranges and not quadrupole
+                   and (emit_mode == "ranges"
+                        or (emit_mode in ("auto", "kernel")
+                            and bool(pool_tile))
+                        or emit_mode == "kernel"))
+    use_tkernel = (emit_mode == "kernel" and emit_ranges
+                   and near_groups == 0 and npad <= 2_000_000)
+    if use_tkernel:
+        # Sequential in-VMEM DFS kernel (ops/bh_traverse_kernel.py):
+        # visits cost ~one packed row read instead of the XLA path's
+        # per-worklist-slot gathers/scatters.  The XLA traversal stays
+        # in-graph as the lax.cond fallback for table/list overflow
+        # (f32-exactness and VMEM residency bound it to <= 2M bodies).
+        from spatialsim_tpu.ops.bh_traverse_kernel import (
+            auto_cell_cap, pack_tree_table, pallas_traverse_ranges)
+        table, root_n, okc = pack_tree_table(
+            tree, auto_cell_cap(npad))
+        fr_k, farn_k, okk = pallas_traverse_ranges(
+            table, root_n, bbox_min, bbox_max, list_cap=list_cap,
+            group_size=gsz, window_groups=window_groups,
+            theta=float(theta), softening=float(softening),
+            skin=float(skin), group_offset=group_offset)
+        n_res = 10 if acc is not None else 7
+
+        def via_kernel(_):
+            return (fr_k, farn_k,
+                    jnp.zeros((ng, SLIVER_CAP), jnp.int32),
+                    jnp.zeros((ng, SLIVER_CAP), jnp.int32),
+                    jnp.zeros((ng,), jnp.int32),
+                    jnp.zeros((ng, n_res), jnp.float32))
+
+        def via_xla(_):
+            _f, frx, fnx, sls, sle, sln, resx, _wl = _traverse_global(
+                tree, bbox_min, bbox_max, ng, theta=float(theta),
+                soft_sq=float(softening) ** 2, skin=float(skin),
+                gsz=gsz, intervals=intervals, list_cap=list_cap,
+                n_levels=n_levels, wl_caps=wl_caps,
+                quadrupole=False, with_acc=acc is not None,
+                with_ranges=True, emit_values=False)
+            return frx, fnx, sls, sle, sln, resx
+
+        far_range, far_n, sl_start, sl_end, sl_n, res = jax.lax.cond(
+            okc & okk, via_kernel, via_xla, None)
+        far = None
+    else:
+        far, far_range, far_n, sl_start, sl_end, sl_n, res, _wl = \
+            _traverse_global(
+                tree, bbox_min, bbox_max, ng, theta=float(theta),
+                soft_sq=float(softening) ** 2, skin=float(skin), gsz=gsz,
+                intervals=intervals, list_cap=list_cap,
+                n_levels=n_levels, wl_caps=wl_caps,
+                quadrupole=quadrupole, with_acc=acc is not None,
+                with_ranges=with_ranges, emit_values=not emit_ranges)
+    if pool_tile and emit_ranges:
+        cap = pool_cap_tiles(budget, ng, pool_tile)
+        return _finish_pool_ranges(
+            far_range, far_n, sl_start, sl_end, sl_n, res,
+            s_pos, s_vel, s_mass, order, order_pad, pos, n, list_cap,
+            tile=pool_tile, cap_tiles=cap, s_acc=s_acc, near=near)
     lists = _finish_lists(far, far_range, far_n, sl_start, sl_end,
-                          sl_n, res, shared, shared_n, s_pos, s_vel,
+                          sl_n, res, s_pos, s_vel,
                           s_mass, order, order_pad, pos, n, list_cap,
                           s_acc=s_acc, near=near)
     if pool_tile:
@@ -740,17 +862,23 @@ def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
 
 
 def _finish_lists(far, far_range, far_n, sl_start, sl_end, sl_n, res,
-                  shared, shared_n, s_pos, s_vel, s_mass, order, order_pad,
+                  s_pos, s_vel, s_mass, order, order_pad,
                   pos, n, list_cap, s_acc=None, near=None):
     """Sliver moments + residual entry + BHLists assembly.
 
-    ``far``/``shared`` use the (groups, R, entries) layout with R per
+    ``far`` uses the (groups, R, entries) layout with R per
     :func:`far_layout` (8/10/13/16).  Slivers and the residual stay
     monopole in Q (mass-conserving fallbacks) but do carry mean
     velocity/acceleration so they advance like other entries.
+
+    ``far=None`` (the traversal ran ranges-only, ``emit_values=False``):
+    every entry's monopole moments are re-materialized here from the
+    prefix sums — segment sums over ``far_range`` — before the sliver /
+    residual machinery runs unchanged.
     """
-    ng, n_rows = far.shape[0], far.shape[1]
+    ng = far_n.shape[0]
     with_acc = s_acc is not None
+    n_rows = far.shape[1] if far is not None else (10 if with_acc else 8)
     quad, acc0 = far_layout(n_rows)
 
     # Sliver moments (window-boundary fragments) from prefix sums; tiny
@@ -759,12 +887,23 @@ def _finish_lists(far, far_range, far_n, sl_start, sl_end, sl_n, res,
     cols = [s_mass[None, :], s_pos * w, s_vel * w]
     if with_acc:
         cols.append(s_acc * w)
-    n_pref = 10 if with_acc else 7
-    pref = jnp.concatenate([
-        jnp.zeros((n_pref, 1), jnp.float32),
-        jnp.cumsum(jnp.concatenate(cols, axis=0), axis=1)],
-        axis=1)                                          # (P, npad+1)
-    seg = pref[:, sl_end] - pref[:, sl_start]            # (P, ng, SC)
+    pref = _comp_prefix(jnp.concatenate(cols, axis=0))   # (2P, npad+1)
+
+    if far is None:
+        L = list_cap
+        fs = far_range[:, 0, :].reshape(ng * L)
+        fe = far_range[:, 1, :].reshape(ng * L)
+        segf = _comp_seg(pref, fs, fe)               # (P, ngL) 2 gathers
+        fm = segf[0]
+        finv = jnp.where(fm > 0, 1.0 / jnp.maximum(fm, 1e-30), 0.0)
+        frows = [segf[1] * finv, segf[2] * finv, segf[3] * finv,
+                 segf[4] * finv, segf[5] * finv, segf[6] * finv, fm]
+        if with_acc:
+            frows += [segf[7] * finv, segf[8] * finv, segf[9] * finv]
+        frows += [jnp.zeros((ng * L,), jnp.float32)] * (n_rows - len(frows))
+        far = jnp.stack(frows).reshape(n_rows, ng, L).transpose(1, 0, 2)
+
+    seg = _comp_seg(pref, sl_start, sl_end)              # (P, ng, SC)
     svalid = (jnp.arange(SLIVER_CAP)[None, :] < sl_n[:, None])
     sm = jnp.where(svalid, seg[0], 0.0)
     sinv = jnp.where(sm > 0, 1.0 / jnp.maximum(sm, 1e-30), 0.0)
@@ -846,7 +985,6 @@ def _finish_lists(far, far_range, far_n, sl_start, sl_end, sl_n, res,
         near = jnp.zeros((ng, 0), jnp.int32)
     return BHLists(order=order_pad, inv_order=inv_order,
                    far=far.astype(jnp.float32), far_n=far_n,
-                   shared=shared.astype(jnp.float32), shared_n=shared_n,
                    ref_pos=pos, steps_since=jnp.int32(0), near=near,
                    far_range=far_range, steps_build=jnp.int32(0))
 
@@ -922,6 +1060,129 @@ def _pool_ranges(pool):
     return fs, fe
 
 
+def _finish_pool_ranges(far_range, far_n, sl_start, sl_end, sl_n, res,
+                        s_pos, s_vel, s_mass, order, order_pad, pos, n,
+                        list_cap, *, tile, cap_tiles, s_acc=None,
+                        near=None):
+    """Ranges-only finish: slivers + residual + moments STRAIGHT into the
+    tile pool — the dense ``(ng, R, L)`` tensor never exists.
+
+    This is what makes the pool viable at EXTREME scale: at 50M bodies
+    the dense monopole transient is ~16 GB (195K groups x 10 rows x 2048
+    cap x 4 B) while the range columns + pool are ~6 GB.  The traversal
+    ran with ``emit_values=False``; every real entry's monopole moments
+    are segment sums of the sorted state over its ``[start, end)`` range
+    (the same identity :func:`refresh_lists` uses every refresh).
+    Slivers ARE ranges, so they append as ordinary entries; only the
+    mass-conserving residual (no contiguous range) carries stored
+    values, scattered into its reserved slot after pool assembly.
+    """
+    ng = far_n.shape[0]
+    L = list_cap
+    npad = s_pos.shape[1]
+    with_acc = s_acc is not None
+
+    # Prefix sums: [m, m*pos, m*vel (, m*acc)] over the sorted state.
+    w = s_mass[None, :]
+    cols = [s_mass[None, :], s_pos * w, s_vel * w]
+    if with_acc:
+        cols.append(s_acc * w)
+    n_pref = 10 if with_acc else 7
+    pref = _comp_prefix(jnp.concatenate(cols, axis=0))   # (2P, npad+1)
+
+    fr_s = far_range[:, 0, :].reshape(ng * L)
+    fr_e = far_range[:, 1, :].reshape(ng * L)
+
+    # Append sliver RANGES as ordinary entries (slot list_cap-1 stays
+    # reserved for the residual); overflow folds its MOMENTS into the
+    # residual accumulator (tiny ng x SLIVER_CAP gather).
+    k = jnp.arange(SLIVER_CAP, dtype=jnp.int32)[None, :]
+    take = k < sl_n[:, None]
+    fits = take & (far_n[:, None] + k < list_cap - 1)
+    slot = far_n[:, None] + k
+    gi = jnp.arange(ng, dtype=jnp.int32)[:, None]
+    flat = jnp.where(fits, gi * L + slot, ng * L)
+    fr_s = fr_s.at[flat.reshape(-1)].set(sl_start.reshape(-1),
+                                         mode="drop")
+    fr_e = fr_e.at[flat.reshape(-1)].set(sl_end.reshape(-1), mode="drop")
+    far_n = jnp.minimum(far_n + sl_n, list_cap - 1)
+
+    over = take & ~fits
+    def fold(res):
+        seg_sl = _comp_seg(pref, sl_start, sl_end)       # (P, ng, SC)
+        om = jnp.where(over, 1.0, 0.0)
+        return res + jnp.stack(
+            [jnp.sum(seg_sl[i] * om, axis=1) for i in range(n_pref)],
+            axis=1)
+    res = jax.lax.cond(jnp.any(over), fold, lambda r: r, res)
+
+    # Residual slot (appended right after the real entries, like the
+    # dense path).
+    res_m = res[:, 0]
+    has_res = res_m > 0
+    far_n_tot = far_n + has_res.astype(jnp.int32)
+
+    # --- pool assembly ---
+    tiles_g = (far_n_tot + tile - 1) // tile
+    pstart = (jnp.cumsum(tiles_g) - tiles_g).astype(jnp.int32)
+    t_idx = jnp.arange(cap_tiles, dtype=jnp.int32)
+    g_of = (jnp.searchsorted(pstart, t_idx, side="right") - 1).astype(
+        jnp.int32)
+    g_c = jnp.clip(g_of, 0, ng - 1)
+    k_of = t_idx - pstart[g_c]
+    ent = k_of[:, None] * tile + jnp.arange(tile, dtype=jnp.int32)[None]
+    valid = ((t_idx < jnp.sum(tiles_g))[:, None]
+             & (ent < far_n_tot[g_c][:, None]))
+    is_res = valid & has_res[g_c][:, None] & (
+        ent == (far_n_tot[g_c] - 1)[:, None])
+    is_rng = valid & ~is_res
+    idx = jnp.where(is_rng, g_c[:, None] * L + jnp.minimum(ent, L - 1),
+                    ng * L).reshape(-1)
+
+    fse = jnp.pad(jnp.stack([fr_s, fr_e]), ((0, 0), (0, 1)))
+    fsel = fse[:, idx]                                   # one packed gather
+    fs_p, fe_p = fsel[0], fsel[1]
+    seg = _comp_seg(pref, fs_p, fe_p)                    # 2 packed gathers
+    m = seg[0]
+    inv = jnp.where(m > 0, 1.0 / jnp.maximum(m, 1e-30), 0.0)
+    zero = jnp.zeros_like(m)
+    rows = [seg[1] * inv, seg[2] * inv, seg[3] * inv,
+            seg[4] * inv, seg[5] * inv, seg[6] * inv, m]
+    rows += ([seg[7] * inv, seg[8] * inv, seg[9] * inv] if with_acc
+             else [zero] * 3)
+    rows += [(fs_p >> 16).astype(jnp.float32),
+             (fs_p & 0xFFFF).astype(jnp.float32),
+             (fe_p >> 16).astype(jnp.float32),
+             (fe_p & 0xFFFF).astype(jnp.float32),
+             zero, zero]
+    pool = jnp.stack(rows).reshape(POOL_ROWS, cap_tiles, tile).transpose(
+        1, 0, 2)
+
+    # Residual values (fs = fe = 0 -> refresh REBASES them, like dense).
+    inv_m = jnp.where(has_res, 1.0 / jnp.maximum(res_m, 1e-30), 0.0)
+    zg = jnp.zeros((ng,), jnp.float32)
+    res_rows = [res[:, 1] * inv_m, res[:, 2] * inv_m, res[:, 3] * inv_m,
+                res[:, 4] * inv_m, res[:, 5] * inv_m, res[:, 6] * inv_m,
+                res_m]
+    res_rows += ([res[:, 7] * inv_m, res[:, 8] * inv_m, res[:, 9] * inv_m]
+                 if with_acc else [zg] * 3)
+    res_rows += [zg] * (POOL_ROWS - len(res_rows))
+    rslot = jnp.maximum(far_n_tot - 1, 0)
+    t_of = jnp.where(has_res, pstart + rslot // tile, cap_tiles)
+    pool = pool.at[t_of, :, rslot % tile].set(
+        jnp.stack(res_rows, axis=1), mode="drop")        # (ng, 16)
+
+    inv_order = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    if near is None:
+        near = jnp.zeros((ng, 0), jnp.int32)
+    return BHLists(order=order_pad, inv_order=inv_order,
+                   far=None, far_n=far_n_tot,
+                   ref_pos=pos, steps_since=jnp.int32(0), near=near,
+                   far_range=None, steps_build=jnp.int32(0),
+                   pool=pool, pstart=pstart)
+
+
 def refresh_lists(lists: BHLists, pos_s, vel_s, mass_s, acc_s=None,
                   dt=0.0, tau_clamp=24.0):
     """Re-materialize every far entry's moments from the CURRENT state.
@@ -960,8 +1221,19 @@ def refresh_lists(lists: BHLists, pos_s, vel_s, mass_s, acc_s=None,
     if lists.pool is not None:
         return _refresh_pool(lists, pos_s, vel_s, mass_s, acc_s, dt,
                              tau_clamp)
+    far_new = _refresh_dense_core(lists.far, lists.far_range, pos_s,
+                                  vel_s, mass_s, acc_s,
+                                  lists.steps_since, dt, tau_clamp)
+    return lists._replace(far=far_new, steps_since=jnp.int32(0))
 
-    far = lists.far
+
+def _refresh_dense_core(far, far_range, pos_s, vel_s, mass_s, acc_s,
+                        steps_since, dt, tau_clamp):
+    """Dense-layout refresh body: (far, far_range, padded sorted state)
+    -> refreshed far.  Shared by :func:`refresh_lists` and the sharded
+    engine (which all_gathers the globally-sorted state and refreshes
+    only its own shard of groups — ``far_range`` holds GLOBAL sorted
+    slots, so ``pos_s``.. must be the full sorted arrays there)."""
     ng, R, L = far.shape
     quad, acc0 = far_layout(R)
     with_acc = acc_s is not None and acc0 is not None
@@ -970,14 +1242,11 @@ def refresh_lists(lists: BHLists, pos_s, vel_s, mass_s, acc_s=None,
     cols = [w, pos_s * w, vel_s * w]
     if with_acc:
         cols.append(acc_s * w)
-    n_rows_p = 10 if with_acc else 7
-    pref = jnp.concatenate([
-        jnp.zeros((n_rows_p, 1), jnp.float32),
-        jnp.cumsum(jnp.concatenate(cols, axis=0), axis=1)], axis=1)
+    pref = _comp_prefix(jnp.concatenate(cols, axis=0))
 
-    fs = lists.far_range[:, 0, :].reshape(ng * L)
-    fe = lists.far_range[:, 1, :].reshape(ng * L)
-    seg = pref[:, fe] - pref[:, fs]                  # (P, ng*L) 2 gathers
+    fs = far_range[:, 0, :].reshape(ng * L)
+    fe = far_range[:, 1, :].reshape(ng * L)
+    seg = _comp_seg(pref, fs, fe)                    # (P, ng*L) 2 gathers
     m = seg[0]
     inv = jnp.where(m > 0, 1.0 / jnp.maximum(m, 1e-30), 0.0)
     new_rows = [seg[1] * inv, seg[2] * inv, seg[3] * inv,
@@ -994,7 +1263,7 @@ def refresh_lists(lists: BHLists, pos_s, vel_s, mass_s, acc_s=None,
 
     # Rebase rangeless entries (residual slot) so their advance is
     # continuous through the τ reset.
-    tau = lists.steps_since.astype(jnp.float32) * dt
+    tau = jnp.asarray(steps_since, jnp.float32) * dt
     old = far
     old_com = old[:, 0:3, :] + old[:, 3:6, :] * tau
     old_vel = old[:, 3:6, :]
@@ -1006,8 +1275,7 @@ def refresh_lists(lists: BHLists, pos_s, vel_s, mass_s, acc_s=None,
     rebased = jnp.concatenate(
         [old_com, old_vel, old[:, 6:, :]], axis=1)
     valid = (fe > fs).reshape(ng, 1, L)
-    far_new = jnp.where(valid, new, rebased)
-    return lists._replace(far=far_new, steps_since=jnp.int32(0))
+    return jnp.where(valid, new, rebased)
 
 
 def _refresh_pool(lists, pos_s, vel_s, mass_s, acc_s, dt, tau_clamp):
@@ -1026,12 +1294,10 @@ def _refresh_pool(lists, pos_s, vel_s, mass_s, acc_s, dt, tau_clamp):
     cols = [w, pos_s * w, vel_s * w,
             (acc_s * w if with_acc
              else jnp.zeros((3, pos_s.shape[1]), jnp.float32))]
-    pref = jnp.concatenate([
-        jnp.zeros((10, 1), jnp.float32),
-        jnp.cumsum(jnp.concatenate(cols, axis=0), axis=1)], axis=1)
+    pref = _comp_prefix(jnp.concatenate(cols, axis=0))
 
     fs, fe = _pool_ranges(pool)
-    seg = pref[:, fe] - pref[:, fs]                  # 2 packed gathers
+    seg = _comp_seg(pref, fs, fe)                    # 2 packed gathers
     m = seg[0]
     inv = jnp.where(m > 0, 1.0 / jnp.maximum(m, 1e-30), 0.0)
     new10 = jnp.stack([seg[1] * inv, seg[2] * inv, seg[3] * inv,
@@ -1154,9 +1420,6 @@ def _eval_sorted_padded(lists: BHLists, s_pos, s_mass, dt, *, G, softening,
     soft_sq = float(softening) ** 2
     Gf = float(G)
 
-    nsg = lists.shared.shape[0]
-    S_eff = max(1, ng // nsg)
-
     quad = quadrupole
 
     near = lists.near
@@ -1178,10 +1441,10 @@ def _eval_sorted_padded(lists: BHLists, s_pos, s_mass, dt, *, G, softening,
         # tile to the current τ in-register (no far_eval_tensor
         # materialization).
         return pallas_window_eval(
-            s_pos, s_mass, lists.far, lists.far_n, lists.shared,
-            lists.shared_n, near if K else None, lists.steps_since, dt,
+            s_pos, s_mass, lists.far, lists.far_n,
+            near if K else None, lists.steps_since, dt,
             G=Gf, softening=softening, group_size=gsz,
-            window_groups=window_groups, supergroup=S_eff,
+            window_groups=window_groups,
             far_tile=far_tile, groups_per_program=gpp,
             tau_clamp=float(tau_clamp), use_cols=use_cols, iblk=iblk)
 
@@ -1202,17 +1465,6 @@ def _eval_sorted_padded(lists: BHLists, s_pos, s_mass, dt, *, G, softening,
     far_q = (far[:, 7:13, :] if quad
              else jnp.zeros((ng, 6, far.shape[2]), jnp.float32))
 
-    shr = lists.shared
-    _, sacc0 = far_layout(shr.shape[1])
-    shr_pos0 = shr[:, 0:3, :] + shr[:, 3:6, :] * tau
-    if sacc0 is not None:
-        tcl = jnp.minimum(tau, jnp.float32(tau_clamp) * dt)
-        shr_pos0 = shr_pos0 + shr[:, sacc0:sacc0 + 3, :] * (
-            tcl * tau - 0.5 * tcl * tcl)
-    shr_pos = jnp.repeat(shr_pos0, S_eff, axis=0)             # (ng, 3, Ls)
-    shr_pos_c = shr_pos - center
-    shr_mass = jnp.repeat(shr[:, 6, :], S_eff, axis=0)
-
     src_pos, src_mass = _window_sources(s_pos, s_mass, ng, gsz,
                                         window_groups)
     if K:
@@ -1232,12 +1484,10 @@ def _eval_sorted_padded(lists: BHLists, s_pos, s_mass, dt, *, G, softening,
     src_pos_c = src_pos - center
 
     def chunk_eval(args):
-        gp, fp, fm, fq, sp, sm, hp, hm = args
+        gp, fp, fm, fq, sp, sm = args
         far_acc = (_dense_accel_quad(gp, fp, fm, fq, Gf, soft_sq) if quad
                    else _dense_accel(gp, fp, fm, Gf, soft_sq))
-        return (far_acc
-                + _dense_accel(gp, sp, sm, Gf, soft_sq)
-                + _dense_accel(gp, hp, hm, Gf, soft_sq))
+        return far_acc + _dense_accel(gp, sp, sm, Gf, soft_sq)
 
     c = min(chunk, ng)
     if ng % c != 0:
@@ -1247,9 +1497,7 @@ def _eval_sorted_padded(lists: BHLists, s_pos, s_mass, dt, *, G, softening,
              far_mass.reshape(ng // c, c, -1),
              far_q.reshape(ng // c, c, 6, -1),
              src_pos_c.reshape(ng // c, c, 3, -1),
-             src_mass.reshape(ng // c, c, -1),
-             shr_pos_c.reshape(ng // c, c, 3, -1),
-             shr_mass.reshape(ng // c, c, -1))
+             src_mass.reshape(ng // c, c, -1))
     acc = jax.lax.map(chunk_eval, parts).reshape(ng, 3, gsz)
 
     return jnp.moveaxis(acc, 0, 1).reshape(3, npad)
@@ -1368,7 +1616,8 @@ def _build_kw(config):
                                  or getattr(config, "near_groups", 0)
                                  or not getattr(config,
                                                 "use_pallas_eval", True))
-                           else getattr(config, "pool_tile", 0)))
+                           else getattr(config, "pool_tile", 0)),
+                emit_mode=getattr(config, "traversal_emit", "auto"))
 
 
 # Above this body count the step splits into two device programs with the

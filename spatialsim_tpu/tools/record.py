@@ -44,7 +44,10 @@ RECORD_MAX_SPEED_COLOR = 15.0
 # backend; here the anchor follows the ENGINE the model will actually
 # pick (models/nbody.resolve_engine): Pallas all-pairs below the
 # threshold (dispatch-floor dominated at TINY sizes), the windowed BH
-# engine above it (n*log n from the measured 1M sustained rate).
+# engine above it (n*log n from the measured 1M sustained rate).  The
+# window anchor is read from the newest committed bench record
+# (BENCH_r*.json at the repo root) so engine speedups don't silently
+# turn ETAs into fiction; the constant is the last hand-checked value.
 _EST_ANCHOR_N = 1_000_000
 _EST_ANCHOR_THETA = 0.8
 _EST_ANCHOR_STEP_S = 1.0 / 10.6
@@ -52,6 +55,35 @@ _EST_ANCHOR_STEP_S = 1.0 / 10.6
 # pair rate; calibrated against a TINY 10K run (scripts/eval_bench.py).
 _EST_STEP_FLOOR_S = 0.004
 _EST_ALLPAIRS_PAIRS_PER_S = 1.2e12
+
+
+def _anchor_from_bench() -> float:
+    """Newest committed 1M steps/s bench value -> anchor seconds/step.
+
+    Scans BENCH_r*.json next to the package for the LAST successful run
+    (rc == 0) carrying the ``nbody_steps_per_sec_1000k_theta0.8`` metric
+    line; falls back to :data:`_EST_ANCHOR_STEP_S`.
+    """
+    import glob
+    import json
+    import os
+    import re
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    best = None
+    for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
+        try:
+            rec = json.loads(open(path).read())
+        except (OSError, ValueError):
+            continue
+        if rec.get("rc") != 0:
+            continue
+        m = re.search(
+            r'"metric":\s*"nbody_steps_per_sec_1000k_theta0\.8",\s*'
+            r'"value":\s*([0-9.eE+-]+)', rec.get("tail", ""))
+        if m and float(m.group(1)) > 0:
+            best = float(m.group(1))
+    return 1.0 / best if best else _EST_ANCHOR_STEP_S
 
 
 def estimate_recording_time(config: dict) -> float:
@@ -70,7 +102,7 @@ def estimate_recording_time(config: dict) -> float:
             _EST_ANCHOR_N * math.log(_EST_ANCHOR_N))
         theta_scale = (_EST_ANCHOR_THETA / theta) ** 2
         step_s = max(_EST_STEP_FLOOR_S,
-                     _EST_ANCHOR_STEP_S * scale * theta_scale)
+                     _anchor_from_bench() * scale * theta_scale)
     return steps * step_s
 
 

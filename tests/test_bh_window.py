@@ -478,3 +478,133 @@ def test_pool_refresh_matches_dense(rng):
     b_p = np.asarray(eval_accel(lp2, pos, mass, jnp.float32(0.02),
                                 use_pallas=True, **ek))
     assert np.abs(b_p - b_d).max() / np.abs(b_d).max() < 1e-4
+
+
+def test_compensated_prefix_recovers_small_segments(rng):
+    """_comp_seg == float64 segment sums even when the running prefix
+    dwarfs the segment (the plain-f32 failure mode: a 1-body mass
+    extracted from a ~1e7 prefix loses every bit)."""
+    from spatialsim_tpu.ops.bh_window import _comp_prefix, _comp_seg
+    n = 200_000
+    x = (rng.random((2, n)) * 100.0 + 1.0).astype(np.float32)
+    x[1] *= np.sign(rng.normal(size=n)).astype(np.float32)  # mixed signs
+    pref = _comp_prefix(jnp.asarray(x))
+    s = jnp.asarray([0, n - 3, n // 2, 12345, n - 1], jnp.int32)
+    e = jnp.asarray([n, n - 1, n // 2 + 2, 12347, n], jnp.int32)
+    seg = np.asarray(_comp_seg(pref, s, e))
+    ref = np.cumsum(x.astype(np.float64), axis=1)
+    ref = np.concatenate([np.zeros((2, 1)), ref], axis=1)
+    want = ref[:, np.asarray(e)] - ref[:, np.asarray(s)]
+    assert np.abs(seg - want).max() / np.abs(want).max() < 1e-6
+    # plain f32 prefixes DO fail this (guard that the test is meaningful)
+    plain = np.cumsum(x, axis=1, dtype=np.float32)
+    plain = np.concatenate([np.zeros((2, 1), np.float32), plain], axis=1)
+    seg32 = plain[:, np.asarray(e)] - plain[:, np.asarray(s)]
+    small = np.abs(want) < 1000
+    assert (np.abs(seg32 - want)[small] / np.abs(want)[small]).max() > 1e-4
+
+
+def test_ranges_emission_matches_value_emission(rng):
+    """emit_mode="ranges" builds the same lists as "values": identical
+    entry set (ranges/counts bit-equal), moments f32-close."""
+    n = 8192
+    pos = jnp.asarray(rng.normal(size=(3, n)) * 100 + 250, jnp.float32)
+    vel = jnp.asarray(rng.normal(size=(3, n)), jnp.float32)
+    mass = jnp.asarray(rng.random(n) + 0.5, jnp.float32)
+    acc = jnp.asarray(rng.normal(size=(3, n)), jnp.float32)
+    kw = dict(theta=0.8, softening=2.0, skin=2.0, max_depth=6,
+              group_size=256, window_groups=2, list_cap=512)
+    lv = build_lists(pos, vel, mass, acc, emit_mode="values", **kw)
+    lr = build_lists(pos, vel, mass, acc, emit_mode="ranges", **kw)
+    assert np.array_equal(np.asarray(lv.far_n), np.asarray(lr.far_n))
+    assert np.array_equal(np.asarray(lv.far_range),
+                          np.asarray(lr.far_range))
+    fv, fr = np.asarray(lv.far), np.asarray(lr.far)
+    sel = fv[:, 6, :] > 0
+    for row in range(fv.shape[1]):
+        a, b = fv[:, row, :][sel], fr[:, row, :][sel]
+        assert np.abs(a - b).max() <= 1e-3 + 1e-3 * np.abs(a).max(), row
+
+
+def test_pool_from_ranges_matches_dense_compaction(rng):
+    """The direct-to-pool ranges finish == dense build + compaction
+    (same tiles, same encoded ranges, f32-close moments, equal eval)."""
+    n = 8192
+    pos = jnp.asarray(rng.normal(size=(3, n)) * 100, jnp.float32)
+    vel = jnp.asarray(rng.normal(size=(3, n)), jnp.float32)
+    mass = jnp.asarray(rng.random(n) + 0.5, jnp.float32)
+    acc = jnp.asarray(rng.normal(size=(3, n)), jnp.float32)
+    kw = dict(theta=0.8, softening=2.0, skin=2.0, max_depth=6,
+              group_size=256, window_groups=2, list_cap=512)
+    lpv = build_lists(pos, vel, mass, acc, emit_mode="values",
+                      pool_tile=128, **kw)
+    lpr = build_lists(pos, vel, mass, acc, emit_mode="ranges",
+                      pool_tile=128, **kw)
+    assert np.array_equal(np.asarray(lpv.pstart), np.asarray(lpr.pstart))
+    assert np.array_equal(np.asarray(lpv.far_n), np.asarray(lpr.far_n))
+    pv, pr = np.asarray(lpv.pool), np.asarray(lpr.pool)
+    mm = pv[:, 6, :] > 0
+    assert np.array_equal(np.where(mm[:, None, :], pv[:, 10:14, :], 0),
+                          np.where(mm[:, None, :], pr[:, 10:14, :], 0))
+    for row in range(10):
+        a, b = pv[:, row, :][mm], pr[:, row, :][mm]
+        assert np.abs(a - b).max() <= 1e-3 + 1e-3 * np.abs(a).max(), row
+    ek = dict(G=0.1, softening=2.0, group_size=256, window_groups=2)
+    a_v = np.asarray(eval_accel(lpv, pos, mass, jnp.float32(0.02),
+                                use_pallas=True, **ek))
+    a_r = np.asarray(eval_accel(lpr, pos, mass, jnp.float32(0.02),
+                                use_pallas=True, **ek))
+    assert np.abs(a_r - a_v).max() / np.abs(a_v).max() < 1e-4
+
+
+def test_traverse_kernel_matches_xla_traversal(rng):
+    """The Pallas DFS traversal (emit_mode="kernel", interpret on CPU)
+    emits the IDENTICAL range set per group as the XLA worklist
+    traversal when capacity is adequate, and the materialized lists
+    evaluate equal."""
+    n = 4096
+    pos = jnp.asarray(rng.normal(size=(3, n)) * 120 + 300, jnp.float32)
+    vel = jnp.asarray(rng.normal(size=(3, n)), jnp.float32)
+    mass = jnp.asarray(rng.random(n) + 0.5, jnp.float32)
+    acc = jnp.asarray(rng.normal(size=(3, n)), jnp.float32)
+    kw = dict(theta=0.8, softening=2.0, skin=2.0, max_depth=6,
+              group_size=256, window_groups=2, list_cap=4096)
+    lr = build_lists(pos, vel, mass, acc, emit_mode="ranges", **kw)
+    lk = build_lists(pos, vel, mass, acc, emit_mode="kernel", **kw)
+    fnr, fnk = np.asarray(lr.far_n), np.asarray(lk.far_n)
+    # Equivalence only holds below saturation (the two paths fold
+    # differently at the cap — by design); guard the regime.
+    assert fnr.max() < 4096 - 80, "test config saturated; raise list_cap"
+    rr, rk = np.asarray(lr.far_range), np.asarray(lk.far_range)
+    for g in range(fnr.shape[0]):
+        a = {tuple(x) for x in rr[g, :, :fnr[g]].T.tolist()
+             if x[1] > x[0]}   # drop the (0, 0) residual slot
+        b = {tuple(x) for x in rk[g, :, :fnk[g]].T.tolist()}
+        assert a == b, f"group {g}: range sets differ"
+    ek = dict(G=0.1, softening=2.0, group_size=256, window_groups=2)
+    ar = np.asarray(eval_accel(lr, pos, mass, jnp.float32(0.0),
+                               use_pallas=False, **ek))
+    ak = np.asarray(eval_accel(lk, pos, mass, jnp.float32(0.0),
+                               use_pallas=False, **ek))
+    rel = (np.linalg.norm(ar - ak, axis=0)
+           / (1e-6 + np.linalg.norm(ar, axis=0)))
+    assert rel.max() < 1e-4
+
+
+def test_traverse_kernel_fold_conserves_mass(rng):
+    """Under list-cap pressure the kernel folds to coarse emissions
+    (never drops mass) and reports no hard overflow."""
+    n = 4096
+    pos = jnp.asarray(rng.normal(size=(3, n)) * 120, jnp.float32)
+    vel = jnp.asarray(rng.normal(size=(3, n)), jnp.float32)
+    mass = jnp.asarray(rng.random(n) + 0.5, jnp.float32)
+    acc = jnp.asarray(rng.normal(size=(3, n)), jnp.float32)
+    kw = dict(theta=0.8, softening=2.0, skin=2.0, max_depth=6,
+              group_size=256, window_groups=2)
+    lr = build_lists(pos, vel, mass, acc, emit_mode="ranges",
+                     list_cap=2048, **kw)
+    lk = build_lists(pos, vel, mass, acc, emit_mode="kernel",
+                     list_cap=192, **kw)   # force the fold path
+    mr = np.asarray(lr.far[:, 6, :]).sum(axis=1)
+    mk = np.asarray(lk.far[:, 6, :]).sum(axis=1)
+    np.testing.assert_allclose(mk, mr, rtol=1e-4, atol=1e-3)
