@@ -135,35 +135,37 @@ def pack_tree_table(tree: Octree, cap_cells: int):
 
 
 def _traverse_kernel(meta_ref, bounds_ref, table_ref, rng_ref, farn_ref,
-                     stack, *, list_cap, gsz, wg, theta_sq, soft_sq):
+                     stack, j, *, list_cap, gsz, wg, theta_sq, soft_sq):
     """One group's DFS.  Scalar-heavy by design: a visit is 8 scalar
     reads of one packed row (static lane offsets within the cell's
     8-lane slot) plus ~20 scalar ops; the VPU idles, but there are only
     ~1.5K visits per group on average (5.75M / 3907 at 1M galaxy).
 
     meta_ref: (1, 4) SMEM int32 [group_offset, ng_total, root_n, 0]
-    bounds_ref: (8, 1) SMEM f32 skin-dilated group AABB [min3, max3]
-    table_ref: (cap/16, 128) f32 packed cells (VMEM, grid-invariant)
-    rng_ref: (1, 2, L) f32 out — [start, end) exact-f32 body ranges
-    farn_ref: (1, 1) int32 out — emitted count, or -1 on hard overflow
+    bounds_ref: (8, gpp) SMEM f32 skin-dilated group AABBs [min3, max3]
+    table_ref: (cap/16, 128) f32 packed cells (VMEM scratch, loaded
+      once by program 0)
+    rng_ref: (gpp, 2, L) f32 out — [start, end) exact-f32 body ranges
+    farn_ref: (1, gpp) int32 out — emitted count, or -1 on overflow
     stack: (STACK_CAP, 2) int32 SMEM — (next, end) global cell-id runs
+    j: static group index within the program's gpp batch
     """
-    g = pl.program_id(0) + meta_ref[0, 0]
-    ng = meta_ref[0, 1]
+    gpp = bounds_ref.shape[1]
+    g = pl.program_id(0) * gpp + j + meta_ref[0, 0]
     root_n = meta_ref[0, 2]
-    gminx = bounds_ref[0, 0]
-    gminy = bounds_ref[1, 0]
-    gminz = bounds_ref[2, 0]
-    gmaxx = bounds_ref[3, 0]
-    gmaxy = bounds_ref[4, 0]
-    gmaxz = bounds_ref[5, 0]
+    gminx = bounds_ref[0, j]
+    gminy = bounds_ref[1, j]
+    gminz = bounds_ref[2, j]
+    gmaxx = bounds_ref[3, j]
+    gmaxy = bounds_ref[4, j]
+    gmaxz = bounds_ref[5, j]
     # Covered interval (the Morton window) in body indices — matches
     # bh_window._covered_intervals with near_groups=0 (single merged
     # interval; the window clamp falls out of the emission clips).
     lo = (g - wg) * gsz
     hi = (g + wg + 1) * gsz
 
-    rng_ref[0, :, :] = jnp.zeros((2, list_cap), jnp.float32)
+    rng_ref[j, :, :] = jnp.zeros((2, list_cap), jnp.float32)
     stack[0, 0] = 0
     stack[0, 1] = root_n
 
@@ -229,8 +231,8 @@ def _traverse_kernel(meta_ref, bounds_ref, table_ref, rng_ref, farn_ref,
 
             @pl.when(fits)
             def _():
-                rng_ref[0, 0, idx] = a.astype(jnp.float32)
-                rng_ref[0, 1, idx] = b.astype(jnp.float32)
+                rng_ref[j, 0, idx] = a.astype(jnp.float32)
+                rng_ref[j, 1, idx] = b.astype(jnp.float32)
             return (e + fits.astype(jnp.int32),
                     lost + (valid & ~fits).astype(jnp.int32))
 
@@ -248,17 +250,18 @@ def _traverse_kernel(meta_ref, bounds_ref, table_ref, rng_ref, farn_ref,
 
     _, e, lost = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
-    farn_ref[0, 0] = jnp.where(lost > 0, -1, e)
+    farn_ref[0, j] = jnp.where(lost > 0, -1, e)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("list_cap", "group_size", "window_groups",
-                     "theta", "softening", "skin", "interpret"))
+                     "theta", "softening", "skin", "groups_per_program",
+                     "interpret"))
 def pallas_traverse_ranges(table, root_n, bounds_min, bounds_max, *,
                            list_cap, group_size, window_groups, theta,
                            softening, skin, group_offset=0,
-                           interpret=None):
+                           groups_per_program=4, interpret=None):
     """Per-group far-list RANGES via the VMEM DFS kernel.
 
     Args:
@@ -266,62 +269,87 @@ def pallas_traverse_ranges(table, root_n, bounds_min, bounds_max, *,
       root_n: () int32 occupied cells of the start level.
       bounds_min / bounds_max: ``(ng, 3)`` f32 raw group AABBs (the skin
         dilation is applied here).
+      groups_per_program: DFS walks batched per Pallas program —
+        amortizes the ~4 us per-program overhead (3907 single-group
+        programs would idle ~15 ms against a ~100-300 ms target).
     Returns:
       ``(far_range (ng, 2, L) int32, far_n (ng,) int32, ok () bool)`` —
       ``ok`` False when any group hit the hard list cap (the caller
       falls back to the XLA traversal for this build).
+
+    The table rides to the kernel in ANY (HBM) memory and is DMA'd ONCE
+    into a VMEM scratch by program 0 — a VMEM input block would risk
+    Mosaic double-buffering it (2 x 8.4 MB at 1M overflows VMEM).
+    Grid iterations execute sequentially on the core, so later programs
+    see the completed copy.
     """
     ng = bounds_min.shape[0]
     L = list_cap
+    gpp = max(1, groups_per_program)
+    ng2 = ((ng + gpp - 1) // gpp) * gpp
+    gpad = ng2 - ng
     bounds = jnp.concatenate(
         [(bounds_min - skin).T, (bounds_max + skin).T,
          jnp.zeros((2, ng), jnp.float32)], axis=0)           # (8, ng)
+    if gpad:
+        # Padding groups: empty AABB far outside the world -> everything
+        # is accepted at the root, a few dozen emissions, discarded.
+        bounds = jnp.pad(bounds, ((0, 0), (0, gpad)),
+                         constant_values=1e18)
     meta = jnp.stack(
         [jnp.asarray(group_offset, jnp.int32), jnp.int32(ng),
          jnp.asarray(root_n, jnp.int32), jnp.int32(0)]).reshape(1, 4)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(ng,),
+        grid=(ng2 // gpp,),
         in_specs=[
             pl.BlockSpec((1, 4), lambda g: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, 1), lambda g: (0, g),
+            pl.BlockSpec((8, gpp), lambda g: (0, g),
                          memory_space=pltpu.SMEM),
-            # Constant index map: the table DMAs into VMEM once and is
-            # reused by every grid step.
-            pl.BlockSpec(table.shape, lambda g: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, 2, L), lambda g: (g, 0, 0),
+            pl.BlockSpec((gpp, 2, L), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda g: (g, 0),
+            pl.BlockSpec((1, gpp), lambda g: (0, g),
                          memory_space=pltpu.SMEM),
         ],
-        scratch_shapes=[pltpu.SMEM((STACK_CAP, 2), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((STACK_CAP, 2), jnp.int32),
+            pltpu.VMEM(table.shape, jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
     )
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    def kernel(meta_ref, bounds_ref, table_ref, rng_ref, farn_ref,
-               stack):
-        _traverse_kernel(
-            meta_ref, bounds_ref, table_ref, rng_ref, farn_ref, stack,
-            list_cap=L, gsz=group_size, wg=window_groups,
-            theta_sq=float(theta) ** 2, soft_sq=float(softening) ** 2)
+    def kernel(meta_ref, bounds_ref, table_hbm, rng_ref, farn_ref,
+               stack, table_vmem, sem):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            cp = pltpu.make_async_copy(table_hbm, table_vmem, sem)
+            cp.start()
+            cp.wait()
+        for j in range(gpp):
+            _traverse_kernel(
+                meta_ref, bounds_ref, table_vmem, rng_ref, farn_ref,
+                stack, j, list_cap=L, gsz=group_size, wg=window_groups,
+                theta_sq=float(theta) ** 2,
+                soft_sq=float(softening) ** 2)
 
     rng_f, farn = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((ng, 2, L), jnp.float32),
-            jax.ShapeDtypeStruct((ng, 1), jnp.int32),
+            jax.ShapeDtypeStruct((ng2, 2, L), jnp.float32),
+            jax.ShapeDtypeStruct((1, ng2), jnp.int32),
         ],
         interpret=interpret,
     )(meta, bounds, table)
 
-    farn = farn.reshape(ng)
+    farn = farn.reshape(ng2)[:ng]
     ok = jnp.all(farn >= 0)
-    return rng_f.astype(jnp.int32), jnp.maximum(farn, 0), ok
+    return (rng_f[:ng].astype(jnp.int32), jnp.maximum(farn, 0), ok)
