@@ -182,8 +182,11 @@ def rebuild_ab(n):
     variants = [("values", dict(emit_mode="values")),
                 ("ranges", dict(emit_mode="ranges")),
                 ("kernel", dict(emit_mode="kernel")),
+                ("kernel-strict", dict(emit_mode="kernel-strict")),
                 ("ranges+pool", dict(emit_mode="ranges", pool_tile=512)),
-                ("kernel+pool", dict(emit_mode="kernel", pool_tile=512))]
+                ("kernel+pool", dict(emit_mode="kernel", pool_tile=512)),
+                ("kstrict+pool", dict(emit_mode="kernel-strict",
+                                      pool_tile=512))]
     for name, extra in variants:
         try:
             # Chain 3 builds with a data dependence through pos to get a

@@ -787,12 +787,12 @@ def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
     # dense (ng, R, L) transient never exists (required at EXTREME
     # scale).  Quadrupole and rangeless (sharded) builds must emit
     # values (see _traverse_global).
+    kernel_mode = emit_mode in ("kernel", "kernel-strict")
     emit_ranges = (with_ranges and not quadrupole
                    and (emit_mode == "ranges"
-                        or (emit_mode in ("auto", "kernel")
-                            and bool(pool_tile))
-                        or emit_mode == "kernel"))
-    use_tkernel = (emit_mode == "kernel" and emit_ranges
+                        or (emit_mode == "auto" and bool(pool_tile))
+                        or kernel_mode))
+    use_tkernel = (kernel_mode and emit_ranges
                    and near_groups == 0 and npad <= 2_000_000)
     if use_tkernel:
         # Sequential in-VMEM DFS kernel (ops/bh_traverse_kernel.py):
@@ -828,8 +828,16 @@ def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
                 with_ranges=True, emit_values=False)
             return frx, fnx, sls, sle, sln, resx
 
-        far_range, far_n, sl_start, sl_end, sl_n, res = jax.lax.cond(
-            okc & okk, via_kernel, via_xla, None)
+        if emit_mode == "kernel-strict":
+            # No in-graph fallback (halves the rebuild program size for
+            # the remote compiler); table/list overflow degrades to the
+            # kernel's coarse-fold + truncation instead.  auto_cell_cap
+            # and list sizing make that regime rare by construction.
+            (far_range, far_n, sl_start, sl_end, sl_n,
+             res) = via_kernel(None)
+        else:
+            far_range, far_n, sl_start, sl_end, sl_n, res = jax.lax.cond(
+                okc & okk, via_kernel, via_xla, None)
         far = None
     else:
         far, far_range, far_n, sl_start, sl_end, sl_n, res, _wl = \
