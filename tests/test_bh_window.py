@@ -608,3 +608,27 @@ def test_traverse_kernel_fold_conserves_mass(rng):
     mr = np.asarray(lr.far[:, 6, :]).sum(axis=1)
     mk = np.asarray(lk.far[:, 6, :]).sum(axis=1)
     np.testing.assert_allclose(mk, mr, rtol=1e-4, atol=1e-3)
+
+
+def test_traverse_kernel_stepper_matches_default():
+    """make_window_step with traversal_emit="kernel" (DFS kernel inside
+    the jitted rebuild cond) tracks the default engine's trajectory
+    through a rebuild."""
+    pos, vel, mass = _bodies(8192, "galaxy")
+    base = _cfg(group_size=256, max_depth=6, list_capacity=4096,
+                window_groups=2, skin=2.0, rebuild_interval=4,
+                rebuild_drift_mode="off")
+    s0 = init_window_state(pos, vel, mass, base)
+    s1 = init_window_state(pos, vel, mass,
+                           base.replace(traversal_emit="kernel"))
+    step0 = make_window_step(base, 8192, substeps=3)
+    step1 = make_window_step(base.replace(traversal_emit="kernel"),
+                             8192, substeps=3)
+    dt = jnp.float32(0.02)
+    for _ in range(3):   # crosses rebuilds at step 4
+        s0 = step0(s0, dt)
+        s1 = step1(s1, dt)
+    p0, _, _ = state_original_order(s0)
+    p1, _, _ = state_original_order(s1)
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1),
+                               rtol=2e-4, atol=2e-4)
