@@ -23,6 +23,8 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
+import subprocess
 import sys
 import time
 
@@ -167,7 +169,26 @@ def main(argv=None) -> int:
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
-    jobs = [args.only] if args.only else ["1m", "10m", "boids", "boids500k"]
+    if args.only is None:
+        # Full suite: one SUBPROCESS per metric.  Isolation matters twice
+        # over on the chip: (a) a failure in one metric (e.g. HBM
+        # exhaustion at 10M) must not cost the remaining metrics their
+        # numbers — round 3's rc=1 recorded nothing; (b) each metric
+        # starts with a clean HBM arena instead of inheriting the
+        # previous scale's resident buffers.
+        passthrough = list(sys.argv[1:])
+        failures = 0
+        for job in ["1m", "10m", "boids", "boids500k"]:
+            rc = subprocess.call(
+                [sys.executable, os.path.abspath(__file__),
+                 "--only", job] + passthrough)
+            if rc != 0:
+                failures += 1
+                print(f"[bench] metric {job} FAILED rc={rc}",
+                      file=sys.stderr, flush=True)
+        return 1 if failures == 4 else 0
+
+    jobs = [args.only]
     common = dict(theta=args.theta, warmup=args.warmup,
                   engine=args.engine, skin=args.skin,
                   drift_mode=args.drift_mode, verbose=args.verbose)
