@@ -32,8 +32,14 @@ def timeit(fn, reps=5):
     return min(ts)
 
 
-def bench_row_reads(n_cells, n_reads, reps_in_kernel):
-    """Sum over n_reads random (1, 128) rows of a VMEM-resident table."""
+def bench_row_reads(n_cells, n_reads, reps_in_kernel, width=1):
+    """Sum over n_reads random (1, 128) rows of a VMEM-resident table.
+
+    ``width`` issues that many INDEPENDENT dynamic-sublane reads per
+    loop iteration (distinct accumulators, so only the loop carries a
+    dependence).  The serialized cost measured 142 ns/read — whether
+    independent reads pipeline decides the traversal-kernel design
+    (batched-frontier BFS vs serial DFS)."""
     tree = jnp.arange(n_cells * 128, dtype=jnp.float32).reshape(
         n_cells, 128)
     rng = np.random.default_rng(0)
@@ -41,14 +47,19 @@ def bench_row_reads(n_cells, n_reads, reps_in_kernel):
 
     def kernel(idx_ref, tree_ref, out_ref):
         def rep(r, acc0):
-            def body(i, acc):
-                c = idx_ref[i]
-                row = tree_ref[pl.ds(c, 1), :]
-                return acc + row
-            return jax.lax.fori_loop(0, n_reads, body, acc0)
-        acc = jax.lax.fori_loop(
-            0, reps_in_kernel, rep, jnp.zeros((1, 128), jnp.float32))
-        out_ref[:, :] = acc
+            def body(i, accs):
+                return tuple(
+                    acc + tree_ref[pl.ds(idx_ref[i * width + w], 1), :]
+                    for w, acc in enumerate(accs))
+            return jax.lax.fori_loop(0, n_reads // width, body, acc0)
+        accs = jax.lax.fori_loop(
+            0, reps_in_kernel, rep,
+            tuple(jnp.zeros((1, 128), jnp.float32)
+                  for _ in range(width)))
+        out = accs[0]
+        for a in accs[1:]:
+            out = out + a
+        out_ref[:, :] = out
 
     f = pl.pallas_call(
         kernel,
@@ -65,9 +76,85 @@ def bench_row_reads(n_cells, n_reads, reps_in_kernel):
     g = jax.jit(lambda i, t: f(i, t))
     t = timeit(lambda: g(idx, tree))
     per = t / (n_reads * reps_in_kernel) * 1e9
-    print(f"  row-read: cells={n_cells} reads={n_reads}x"
+    print(f"  row-read w{width}: cells={n_cells} reads={n_reads}x"
           f"{reps_in_kernel}: {t*1e3:.1f} ms total, {per:.1f} ns/read",
           flush=True)
+
+
+def bench_block_read(n_cells, n_reads, reps_in_kernel):
+    """(2, 128) two-row dynamic-sublane read (the straddle-safe run
+    read): is it ~1 read or ~2?"""
+    tree = jnp.arange(n_cells * 128, dtype=jnp.float32).reshape(
+        n_cells, 128)
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, n_cells - 2, n_reads), jnp.int32)
+
+    def kernel(idx_ref, tree_ref, out_ref):
+        def rep(r, acc0):
+            def body(i, acc):
+                rows = tree_ref[pl.ds(idx_ref[i], 2), :]
+                return acc + rows[0:1, :] + rows[1:2, :]
+            return jax.lax.fori_loop(0, n_reads, body, acc0)
+        out_ref[:, :] = jax.lax.fori_loop(
+            0, reps_in_kernel, rep, jnp.zeros((1, 128), jnp.float32))
+
+    f = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[pl.BlockSpec((n_cells, 128),
+                                   lambda g, *_: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 128), lambda g, *_: (0, 0),
+                                   memory_space=pltpu.VMEM)),
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+    )
+    g = jax.jit(lambda i, t: f(i, t))
+    t = timeit(lambda: g(idx, tree))
+    per = t / (n_reads * reps_in_kernel) * 1e9
+    print(f"  block-read (2,128): {t*1e3:.1f} ms, {per:.1f} ns/block",
+          flush=True)
+
+
+def bench_reduce_roundtrip(n_ops, reps_in_kernel, batch=1):
+    """Vector reduce -> SMEM scalar -> control-flow round trip (the
+    traversal kernel's decision-word path).  ``batch`` reductions are
+    issued back-to-back (independent) before any scalar is consumed —
+    measures whether the vector->scalar sync amortizes."""
+    x = jnp.arange(128, dtype=jnp.float32).reshape(1, 128)
+
+    def kernel(idx_ref, x_ref, out_ref, smem):
+        v = x_ref[:, :]
+
+        def rep(r, acc0):
+            def body(i, acc):
+                for b in range(batch):
+                    smem[0, b] = jnp.sum(v * (1.0 + acc * 1e-20)
+                                         + jnp.float32(b))
+                s = smem[0, 0]
+                for b in range(1, batch):
+                    s = s + smem[0, b]
+                return acc + s
+            return jax.lax.fori_loop(0, n_ops, body, acc0)
+        out_ref[0, 0] = jax.lax.fori_loop(0, reps_in_kernel, rep,
+                                          jnp.float32(0))
+
+    f = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(1,),
+            in_specs=[pl.BlockSpec((1, 128), lambda g, *_: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 1), lambda g, *_: (0, 0),
+                                   memory_space=pltpu.SMEM),
+            scratch_shapes=[pltpu.SMEM((1, 8), jnp.float32)]),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32))
+    g = jax.jit(lambda i, t: f(i, t))
+    t = timeit(lambda: g(jnp.arange(4, dtype=jnp.int32), x))
+    per = t / (n_ops * reps_in_kernel * batch) * 1e9
+    print(f"  reduce-roundtrip b{batch}: {t*1e3:.1f} ms, "
+          f"{per:.1f} ns/reduce", flush=True)
 
 
 def bench_row_write(n_cells, n_ops, reps_in_kernel):
@@ -131,12 +218,160 @@ def bench_roll():
               f"{str(e)[:200]}", flush=True)
 
 
+def probe_scalar_load_dynsub(n_cells=8192, n_reads=4096, reps=20):
+    """Scalar VMEM load at (dynamic sublane, STATIC lane).  The dyn/dyn
+    variant crashed Mosaic (decide17 stage 1, HTTP 500); if this form
+    compiles the traversal kernel can keep scalar control flow with an
+    8-lanes-per-cell unpacked table — at 128-lane row padding that is
+    only viable for a table split by attribute."""
+    tree = jnp.arange(n_cells * 128, dtype=jnp.float32).reshape(
+        n_cells, 128)
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, n_cells, n_reads), jnp.int32)
+
+    def kernel(idx_ref, tree_ref, out_ref):
+        def rep(r, acc0):
+            def body(i, acc):
+                return acc + tree_ref[idx_ref[i], 5]
+            return jax.lax.fori_loop(0, n_reads, body, acc0)
+        out_ref[0, 0] = jax.lax.fori_loop(0, reps, rep, jnp.float32(0))
+
+    f = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(1,),
+            in_specs=[pl.BlockSpec((n_cells, 128),
+                                   lambda g, *_: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 1), lambda g, *_: (0, 0),
+                                   memory_space=pltpu.SMEM)),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32))
+    g = jax.jit(lambda i, t: f(i, t))
+    t = timeit(lambda: g(idx, tree))
+    per = t / (n_reads * reps) * 1e9
+    print(f"  scalar load (dyn sub, static lane): OK {t*1e3:.1f} ms, "
+          f"{per:.1f} ns/read", flush=True)
+
+
+def probe_scalar_load_dyn_dyn_retry(n_cells=8192, n_reads=4096, reps=20):
+    """Retry of decide17's dyn/dyn scalar load (its FAIL was an HTTP 500
+    compile-helper crash — possibly transient infra)."""
+    tree = jnp.arange(n_cells * 128, dtype=jnp.float32).reshape(
+        n_cells, 128)
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, n_cells, n_reads), jnp.int32)
+
+    def kernel(idx_ref, tree_ref, out_ref):
+        def rep(r, acc0):
+            def body(i, acc):
+                c = idx_ref[i]
+                return acc + tree_ref[c, (c * 7) % 128]
+            return jax.lax.fori_loop(0, n_reads, body, acc0)
+        out_ref[0, 0] = jax.lax.fori_loop(0, reps, rep, jnp.float32(0))
+
+    f = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(1,),
+            in_specs=[pl.BlockSpec((n_cells, 128),
+                                   lambda g, *_: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 1), lambda g, *_: (0, 0),
+                                   memory_space=pltpu.SMEM)),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32))
+    g = jax.jit(lambda i, t: f(i, t))
+    t = timeit(lambda: g(idx, tree))
+    per = t / (n_reads * reps) * 1e9
+    print(f"  scalar load (dyn sub, dyn lane): OK {t*1e3:.1f} ms, "
+          f"{per:.1f} ns/read", flush=True)
+
+
+def bench_extract8(n_cells=8192, n_visits=4096, reps=10, use_roll=True):
+    """The full DFS-visit extraction pattern for a 16-cells-per-row
+    packed table WITHOUT scalar VMEM loads: dynamic-sublane row read,
+    dynamic lane align (roll or one-hot), 8 reduce-to-SMEM scalars,
+    scalar reads back into control flow.  ns/visit is THE number that
+    decides the traversal kernel's viability (<~100 ns => rebuild
+    ~0.6-1.1 s at 1M; the XLA path pays ~410 ns/slot)."""
+    tree = jnp.arange(n_cells * 128, dtype=jnp.float32).reshape(
+        n_cells, 128)
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, n_cells * 16, n_visits), jnp.int32)
+
+    def kernel(idx_ref, tree_ref, out_ref, smem):
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def rep(r, acc0):
+            def body(i, acc):
+                c = idx_ref[i]
+                row = tree_ref[pl.ds(c // 16, 1), :]
+                base = (c % 16) * 8
+                if use_roll:
+                    al = pltpu.roll(row, -base, 1)
+                    for k in range(8):
+                        smem[0, k] = jnp.sum(
+                            jnp.where(lanes == k, al, 0.0))
+                else:
+                    for k in range(8):
+                        smem[0, k] = jnp.sum(
+                            jnp.where(lanes == base + k, row, 0.0))
+                s = smem[0, 0]
+                for k in range(1, 8):
+                    s = s + smem[0, k]
+                return acc + s
+            return jax.lax.fori_loop(0, n_visits, body, acc0)
+        out_ref[0, 0] = jax.lax.fori_loop(0, reps, rep, jnp.float32(0))
+
+    f = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(1,),
+            in_specs=[pl.BlockSpec((n_cells, 128),
+                                   lambda g, *_: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 1), lambda g, *_: (0, 0),
+                                   memory_space=pltpu.SMEM),
+            scratch_shapes=[pltpu.SMEM((1, 8), jnp.float32)]),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32))
+    g = jax.jit(lambda i, t: f(i, t))
+    t = timeit(lambda: g(idx, tree))
+    per = t / (n_visits * reps) * 1e9
+    print(f"  extract8 ({'roll' if use_roll else 'onehot'}): "
+          f"{t*1e3:.1f} ms, {per:.1f} ns/visit", flush=True)
+
+
 def main():
     print(f"platform={jax.devices()[0].platform}", flush=True)
-    bench_row_reads(8192, 4096, 50)
-    bench_row_reads(32768, 4096, 50)
-    bench_row_write(8192, 4096, 50)
-    bench_roll()
+    for name, fn in [
+            ("row-read w1 8K", lambda: bench_row_reads(8192, 4096, 50)),
+            # 24K cells = 12.3 MB table: stays under the 16 MB scoped
+            # vmem limit (32K cells = 16 MB aborted the whole script).
+            ("row-read w1 24K",
+             lambda: bench_row_reads(24576, 4096, 50)),
+            ("row-read w2", lambda: bench_row_reads(8192, 4096, 50, 2)),
+            ("row-read w4", lambda: bench_row_reads(8192, 4096, 50, 4)),
+            ("row-read w8", lambda: bench_row_reads(8192, 4096, 25, 8)),
+            ("block-read", lambda: bench_block_read(8192, 4096, 50)),
+            ("row-write", lambda: bench_row_write(8192, 4096, 50)),
+            ("roll", bench_roll),
+            ("reduce-roundtrip b1",
+             lambda: bench_reduce_roundtrip(4096, 50, 1)),
+            ("reduce-roundtrip b4",
+             lambda: bench_reduce_roundtrip(4096, 50, 4)),
+            ("reduce-roundtrip b8",
+             lambda: bench_reduce_roundtrip(4096, 25, 8)),
+            ("scalar load (dyn sub, static lane)",
+             probe_scalar_load_dynsub),
+            ("scalar load (dyn sub, dyn lane) retry",
+             probe_scalar_load_dyn_dyn_retry),
+            ("extract8 roll", lambda: bench_extract8(use_roll=True)),
+            ("extract8 onehot", lambda: bench_extract8(use_roll=False)),
+    ]:
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001
+            print(f"  {name}: FAILED {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
     print("done", flush=True)
 
 

@@ -200,6 +200,17 @@ def resolve_config(config: NBodyConfig, n: int) -> NBodyConfig:
         # emission materializes moments straight into the pool
         # (ops/bh_window._finish_pool_ranges) and has no such transient.
         kw["pool_tile"] = 0
+    if config.traversal_emit == "auto" and n > 4_000_000:
+        # Values emission holds the scatter columns AND the gathered
+        # (ng, R, L) far tensor at once while _finish_lists assembles —
+        # ~6.4 GB at the 10M order-2 shape, which is what tipped the 10M
+        # bench into RESOURCE_EXHAUSTED in round 4 (the order-2 acc
+        # columns and the refresh range columns grew the transient ~2 GB
+        # past round 2's peak).  Ranges emission scatters only (start,
+        # end) and materializes moments from compensated prefix sums, so
+        # the columns never exist; required at EXTREME scale regardless
+        # of the pool.
+        kw["traversal_emit"] = "ranges"
     return config.replace(**kw) if kw else config
 
 

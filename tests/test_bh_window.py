@@ -632,3 +632,32 @@ def test_traverse_kernel_stepper_matches_default():
     p1, _, _ = state_original_order(s1)
     np.testing.assert_allclose(np.asarray(p0), np.asarray(p1),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_resolve_config_extreme_scale_guards():
+    """HBM guards for the EXTREME ladder: auto emission goes
+    ranges-only above 4M (values emission's dense scatter-column +
+    gathered-tensor transient exhausted HBM at the 10M order-2 shape),
+    depth caps at 8 above 20M, list capacity drops to 2048 at 50M."""
+    from spatialsim_tpu.config.nbody import resolve_config
+
+    small = resolve_config(NBodyConfig(num_bodies=1_000_000), 1_000_000)
+    assert small.traversal_emit == "auto"       # pool decides (<= 4M)
+    assert small.max_depth == 8
+
+    ten = resolve_config(NBodyConfig(num_bodies=10_000_000), 10_000_000)
+    assert ten.traversal_emit == "ranges"
+    assert ten.max_depth == 9
+    assert ten.list_capacity == 8192
+    assert ten.advance_order == 2
+
+    fifty = resolve_config(NBodyConfig(num_bodies=50_000_000), 50_000_000)
+    assert fifty.traversal_emit == "ranges"
+    assert fifty.max_depth == 8
+    assert fifty.list_capacity == 2048
+
+    # Explicit user choices survive resolution.
+    explicit = resolve_config(
+        NBodyConfig(num_bodies=10_000_000, traversal_emit="values"),
+        10_000_000)
+    assert explicit.traversal_emit == "values"
