@@ -1,47 +1,46 @@
-"""Pallas traversal kernel: per-group DFS over a VMEM-resident octree.
+"""Pallas traversal kernel: run-vectorized DFS over a VMEM-resident octree.
 
 The rebuild traversal is the production engine's wall (measured round 3:
 ~1.72 s of the ~2.2 s rebuild at 1M bodies — scripts/prof_parts.py).
 The XLA path (:func:`spatialsim_tpu.ops.bh_window._traverse_global`)
 pays per-WORKLIST-SLOT gather/scatter/elementwise costs across static
 level caps (~410 ns/slot x 4.2M slots); this kernel walks each group's
-subtree SEQUENTIALLY with the whole tree resident in VMEM, so a visit
-costs one packed row's scalar reads plus ~20 scalar ops — and the
-total visit count is the ACTUAL demand (measured 5.75M pairs at 1M
-galaxy), not the static caps.
+subtree with the whole tree resident in VMEM.
 
-Design facts (measured 2026-08-18, occupancy study at 1M galaxy,
-depth 8):
+**Round-4 redesign, driven by on-chip probes** (scripts/decide15.py,
+decide17.py stage 1):
 
-* **Occupied cells: 215K** (levels [32, 104, 321, 1153, 7420, 37306,
-  168665]) — the compacted tree fits VMEM.
-* **All table attributes are f32-EXACT at <= 2M bodies**: cell ids
-  < 2^18, body indices < 2^21 < 2^24 — so the table is ONE f32 array.
-  No int32 rides an f32 BITCAST (the TPU flushes denormals; a bitcast
-  transport built 93%-wrong forces in round 3): these are value
-  CONVERSIONS of small integers, exact by IEEE.
-* Table layout ``(cap/16, 128)``: 16 cells per row, 8 lanes per cell —
-  ``[child_start, child_count, body_start, body_end, comx, comy, comz,
-  side_sq]`` (32 B/cell; 8.4 MB at cap 262144).  ``side_sq`` stored per
-  cell removes all level bookkeeping from the walk.
-* **Emission is ranges-only**: an accepted cell is the body range
-  ``[body_start, body_end)`` of the frozen sort; moments re-materialize
-  outside the kernel from compensated prefix sums
-  (bh_window._finish_pool_ranges / _finish_lists far=None path).
-* The DFS stack holds (next, end) runs of GLOBAL cell ids (children are
-  contiguous in the compacted level order), so its depth is bounded by
-  the level count — a tiny SMEM scratch.
-* Window-straddling cells clip against the group's covered interval
-  [lo, hi) in BODY-INDEX space at ANY level (<= 2 fragments without
-  near-groups), which subsumes the XLA path's max-depth "sliver"
-  machinery.
-* Capacity policy: when a group's list reaches ``L - FOLD_MARGIN`` the
-  walk stops OPENING and emits each remaining cell as a coarse range —
-  mass-conserving and strictly more accurate than the XLA path's
-  merged residual monopole (29/3907 groups saturate at the 1M
-  defaults: overflow is routine, not an error).  A hard overflow
-  (list completely full) reports far_n = -1; the wrapper's caller
-  falls back to the XLA traversal for that build (lax.cond).
+* Scalar VMEM loads/stores at a DYNAMIC LANE do not compile on this
+  toolchain ("Cannot store scalars to VMEM"; the dyn/dyn load crashed
+  Mosaic), and a serialized dynamic-sublane row read costs ~142 ns — so
+  the round-3 one-cell-per-visit scalar DFS cannot win.  This version
+  therefore processes one RUN of sibling cells per iteration
+  (children of one parent are contiguous global ids, <= 8 cells = 64
+  lanes of the packed table) with every geometric/window decision
+  computed LANE-PARALLEL on the aligned row, and moves exactly ONE
+  scalar across the vector->scalar boundary per iteration: a packed
+  decision word (2 bits of emission + 1 bit of open per cell,
+  f32-exact <= 2^24) reduced into SMEM.
+* Emissions append at ENTRY granularity into 64-entry output rows
+  ((start, end) pairs interleaved on lanes) via dynamic lane roll +
+  masked read-modify-write — the output is DENSE in-kernel, so no XLA
+  compaction pass exists.  Dynamic lane rotates synthesize from
+  log2(128) conditional static rolls when native dynamic
+  ``pltpu.roll`` is unavailable.
+* Pushes read (child_start, child_count) as one packed one-hot
+  reduction per OPENED cell only.
+
+Table layout and semantics are unchanged from round 3: 16 cells per
+128-lane row, 8 attrs per cell ``[child_start, child_count, body_start,
+body_end, comx, comy, comz, side_sq]``, all f32-EXACT at <= 2M bodies
+(value conversions of small integers — never bitcasts, which the TPU's
+denormal flush corrupts).  Window-straddling cells clip against the
+group's covered interval in body-index space at ANY level (subsumes the
+XLA path's max-depth sliver machinery); at ``list_cap - FOLD_MARGIN``
+the walk stops OPENING and emits remaining cells as coarse ranges
+(mass-conserving, strictly more accurate than the XLA path's merged
+residual monopole); a hard overflow reports ``far_n = -1`` and the
+caller falls back to the XLA traversal for that build.
 
 Replaces the reference's per-step traversal
 (``nbody/simulation.py:201-278``) at production scale.
@@ -60,27 +59,44 @@ from spatialsim_tpu.ops.octree import Octree
 
 CELL_LANES = 8           # attrs per cell in the packed table
 CELLS_PER_ROW = 16       # 16 cells x 8 lanes = 128 lanes
+RUN_CHUNK = 8            # cells processed per DFS iteration
+ENTRIES_PER_ROW = 64     # (start, end) pairs interleaved on 128 lanes
 FOLD_MARGIN = 64         # stop opening this many entries before the cap
-STACK_CAP = 24           # DFS run-stack depth bound (>= level count + 8)
+STACK_CAP = 96           # run-stack depth bound (levels x RUN_CHUNK + margin)
+
+# VMEM budget for the packed table (the 16 MB scoped-vmem limit must
+# also hold the double-buffered output blocks and temporaries).
+_TABLE_BYTES_MAX = 11 * 1024 * 1024
 
 
 def auto_cell_cap(npad: int) -> int:
     """Static packed-table capacity.  Measured occupancy at 1M galaxy
-    is ~0.215 cells/body; 0.45/body covers colder distributions with
-    2x margin, floored for tiny tests and rounded to the row size."""
-    cap = max(32768, int(0.45 * npad))
-    return ((cap + CELLS_PER_ROW - 1) // CELLS_PER_ROW) * CELLS_PER_ROW
+    is ~0.215 cells/body; 0.30/body gives ~1.4x margin (overflow falls
+    back to the XLA traversal via the ``ok`` flag), floored for tiny
+    tests and rounded to 128 cells (8 table rows) so the row count
+    tiles."""
+    cap = max(32768, int(0.30 * npad))
+    return ((cap + 127) // 128) * 128
+
+
+def kernel_feasible(npad: int) -> bool:
+    """Whole-tree VMEM residency bound: the packed table must leave
+    room for the output blocks inside the 16 MB scoped-vmem limit."""
+    rows = auto_cell_cap(npad) // CELLS_PER_ROW + 8
+    return rows * 128 * 4 <= _TABLE_BYTES_MAX
 
 
 def pack_tree_table(tree: Octree, cap_cells: int):
     """Flatten + pack the compacted octree into the kernel table.
 
-    Returns ``(table (cap/16, 128) f32, root_n () int32, ok () bool)``.
-    Levels are already occupied-compacted with contiguous child runs
-    (ops/octree.py); this concatenates them with traced offsets so a
-    cell's GLOBAL id = level offset + local id, and child_start remaps
-    to global ids.  ``ok`` is False when the occupied total exceeds
-    ``cap_cells`` (caller falls back to the XLA traversal).
+    Returns ``(table (cap/16 + 8, 128) f32, root_n () int32, ok ()
+    bool)``.  Levels are already occupied-compacted with contiguous
+    child runs (ops/octree.py); this concatenates them with traced
+    offsets so a cell's GLOBAL id = level offset + local id, and
+    child_start remaps to global ids.  ``ok`` is False when the
+    occupied total exceeds ``cap_cells`` (caller falls back to the XLA
+    traversal).  8 zero rows pad the tail so the kernel's straddle-safe
+    two-row reads stay in bounds.
 
     Cost: one packed gather over cap_cells slots (a few ms at 1M),
     amortized over the rebuild interval.
@@ -131,126 +147,192 @@ def pack_tree_table(tree: Octree, cap_cells: int):
     # (8, cap) -> (cap/16, 128): cell k at row k//16, lanes 8*(k%16)+a.
     table = flat.T.reshape(cap_cells // CELLS_PER_ROW,
                            CELLS_PER_ROW * CELL_LANES)
+    table = jnp.pad(table, ((0, 8), (0, 0)))
     return table, counts[0], ok
 
 
-def _traverse_kernel(meta_ref, bounds_ref, table_ref, rng_ref, farn_ref,
-                     stack, j, *, list_cap, gsz, wg, theta_sq, soft_sq):
-    """One group's DFS.  Scalar-heavy by design: a visit is 8 scalar
-    reads of one packed row (static lane offsets within the cell's
-    8-lane slot) plus ~20 scalar ops; the VPU idles, but there are only
-    ~1.5K visits per group on average (5.75M / 3907 at 1M galaxy).
+def _dyn_roll(v, amt):
+    """Right-rotate the 128 lanes of ``v`` by the traced scalar ``amt``
+    (non-negative).  Native dynamic-shift ``pltpu.roll`` compiles and
+    runs on this toolchain (scripts/decide15.py round-4 probe)."""
+    return pltpu.roll(v, amt, 1)
 
-    meta_ref: (1, 4) SMEM int32 [group_offset, ng_total, root_n, 0]
-    bounds_ref: (8, gpp) SMEM f32 skin-dilated group AABBs [min3, max3]
-    table_ref: (cap/16, 128) f32 packed cells (VMEM scratch, loaded
-      once by program 0)
-    rng_ref: (gpp, 2, L) f32 out — [start, end) exact-f32 body ranges
-    farn_ref: (1, gpp) int32 out — emitted count, or -1 on overflow
-    stack: (STACK_CAP, 2) int32 SMEM — (next, end) global cell-id runs
+
+def _walk_group(j, meta_ref, bounds_ref, table, rng_ref, farn_ref, stack,
+                smem_f, *, list_cap, gsz, wg, theta_sq, soft_sq, skin,
+                gpp):
+    """One group's run-vectorized DFS (see module docstring).
+
     j: static group index within the program's gpp batch
+    bounds_ref: (1, 8, gpp) SMEM f32 raw group AABBs [min3, max3, 0, 0]
+    table: (rows, 128) f32 packed cells in VMEM
+    rng_ref: (gpp, L/64, 128) VMEM out — entry m of the group lives at
+      row m//64, lanes (2(m%64), 2(m%64)+1) as exact-f32 (start, end)
+    farn_ref: (1, 2, gpp) SMEM out — [emitted count | -1 on overflow, 0]
+    stack: (STACK_CAP, 2) int32 SMEM — (next, end) global cell-id runs
+    smem_f: (1, 8) f32 SMEM — vector->scalar reduction mailbox
     """
-    gpp = bounds_ref.shape[1]
+    L = list_cap
     g = pl.program_id(0) * gpp + j + meta_ref[0, 0]
     root_n = meta_ref[0, 2]
-    gminx = bounds_ref[0, j]
-    gminy = bounds_ref[1, j]
-    gminz = bounds_ref[2, j]
-    gmaxx = bounds_ref[3, j]
-    gmaxy = bounds_ref[4, j]
-    gmaxz = bounds_ref[5, j]
+    gminx = bounds_ref[0, 0, j] - skin
+    gminy = bounds_ref[0, 1, j] - skin
+    gminz = bounds_ref[0, 2, j] - skin
+    gmaxx = bounds_ref[0, 3, j] + skin
+    gmaxy = bounds_ref[0, 4, j] + skin
+    gmaxz = bounds_ref[0, 5, j] + skin
     # Covered interval (the Morton window) in body indices — matches
     # bh_window._covered_intervals with near_groups=0 (single merged
     # interval; the window clamp falls out of the emission clips).
-    lo = (g - wg) * gsz
-    hi = (g + wg + 1) * gsz
+    lo_f = ((g - wg) * gsz).astype(jnp.float32)
+    hi_f = ((g + wg + 1) * gsz).astype(jnp.float32)
 
-    rng_ref[j, :, :] = jnp.zeros((2, list_cap), jnp.float32)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    lmod = lanes % CELL_LANES
+    lcell = lanes // CELL_LANES
+    cell_ok = (lmod == 0) & (lcell < RUN_CHUNK)
+    # Decision-word weights: emission digit (base 4) at bits 2k,
+    # open bit at bit 16+k; total < 2^24, f32-exact.
+    w_emit = jnp.where(cell_ok, 1 << (2 * lcell), 0).astype(jnp.float32)
+    w_open = jnp.where(cell_ok, 65536 << lcell, 0).astype(jnp.float32)
+
     stack[0, 0] = 0
     stack[0, 1] = root_n
 
+    def append(cond, pair, e, lost, acc_row):
+        """Append one (start, end) pair to the group's dense output.
+
+        Entries accumulate in the carried ``acc_row`` REGISTER (a
+        dynamic lane roll + masked select, no memory traffic) and flush
+        to the output row only when its 64th entry lands — a
+        dynamic-sublane VMEM access costs ~140 ns serialized (measured),
+        so per-entry read-modify-writes would dominate the walk."""
+        fits = cond & (e < L)
+        m = 2 * (e % ENTRIES_PER_ROW)
+        pr = _dyn_roll(pair, m)
+        sel = fits & ((lanes == m) | (lanes == m + 1))
+        acc_new = jnp.where(sel, pr, acc_row)
+        full = fits & (m == 2 * (ENTRIES_PER_ROW - 1))
+
+        @pl.when(full)
+        def _():
+            rng_ref[j, pl.ds(e // ENTRIES_PER_ROW, 1), :] = acc_new
+        return (e + jnp.where(fits, 1, 0),
+                lost + jnp.where(cond & ~fits, 1, 0),
+                jnp.where(full, 0.0, acc_new))
+
     def cond(state):
-        sp, e, lost = state
+        sp, e, lost, acc_row = state
         return sp >= 0
 
     def body(state):
-        sp, e, lost = state
+        sp, e, lost, acc_row = state
         s = stack[sp, 0]
         t = stack[sp, 1]
+        chunk = jnp.minimum(t - s, RUN_CHUNK)
+        keep = t - s > RUN_CHUNK
+
+        @pl.when(keep)
+        def _():
+            stack[sp, 0] = s + RUN_CHUNK
+        sp = jnp.where(keep, sp, sp - 1)
+
+        # Aligned run row: cells s..s+chunk-1 at lanes 8k..8k+7.
         row = s // CELLS_PER_ROW
-        base = (s % CELLS_PER_ROW) * CELL_LANES
-        cs = table_ref[row, base + 0].astype(jnp.int32)
-        cc = table_ref[row, base + 1].astype(jnp.int32)
-        bs = table_ref[row, base + 2].astype(jnp.int32)
-        be = table_ref[row, base + 3].astype(jnp.int32)
-        cx = table_ref[row, base + 4]
-        cy = table_ref[row, base + 5]
-        cz = table_ref[row, base + 6]
-        side_sq = table_ref[row, base + 7]
+        base8 = (s % CELLS_PER_ROW) * CELL_LANES
+        blk = table[pl.ds(row, 2), :]
+        amt = (128 - base8) % 128
+        a0 = _dyn_roll(blk[0:1, :], amt)
+        a1 = _dyn_roll(blk[1:2, :], amt)
+        al = jnp.where(lanes < 128 - base8, a0, a1)
 
-        # Pop cell s from the top run.
-        more = s + 1 < t
+        # Per-attr views at each cell's lane 8k (left-rotate by c).
+        def view(c):
+            return pltpu.roll(al, 128 - c, 1)
+        ccv = view(1)
+        bsv = view(2)
+        bev = view(3)
+        cxv = view(4)
+        cyv = view(5)
+        czv = view(6)
+        ssv = view(7)
 
-        @pl.when(more)
-        def _():
-            stack[sp, 0] = s + 1
-        sp = jnp.where(more, sp, sp - 1)
+        # Acceptance: skin-dilated group AABB to cell COM — identical
+        # float ops, in the same order, as _traverse_global (sum order
+        # (x^2 + y^2) + z^2, soft_sq added before the theta product).
+        gx = jnp.maximum(jnp.maximum(gminx - cxv, cxv - gmaxx), 0.0)
+        gy = jnp.maximum(jnp.maximum(gminy - cyv, cyv - gmaxy), 0.0)
+        gz = jnp.maximum(jnp.maximum(gminz - czv, czv - gmaxz), 0.0)
+        dmin_sq = (gx * gx + gy * gy) + gz * gz + soft_sq
+        accept = (ssv < theta_sq * dmin_sq) | (bev - bsv <= 1.0)
 
-        # Acceptance: skin-dilated group AABB to cell COM (identical
-        # geometry to _traverse_global).
-        gapx = jnp.maximum(jnp.maximum(gminx - cx, cx - gmaxx), 0.0)
-        gapy = jnp.maximum(jnp.maximum(gminy - cy, cy - gmaxy), 0.0)
-        gapz = jnp.maximum(jnp.maximum(gminz - cz, cz - gmaxz), 0.0)
-        dmin_sq = gapx * gapx + gapy * gapy + gapz * gapz + soft_sq
-        accept = (side_sq < theta_sq * dmin_sq) | (be - bs <= 1)
+        validv = lanes < chunk * CELL_LANES
+        live = (bev > bsv) & validv
+        inside = (bsv >= lo_f) & (bev <= hi_f)
+        ovl = (bsv < hi_f) & (bev > lo_f)
+        straddle = live & ~inside & ovl
+        outside = live & ~inside & ~ovl
+        e_ok = e < L - FOLD_MARGIN
+        openv = (straddle | (outside & ~accept)) & (ccv > 0.0) & e_ok
+        emw = outside & ~openv
+        emc = straddle & ~openv
 
-        live = be > bs
-        inside = (bs >= lo) & (be <= hi)         # window-contained: drop
-        overlap = (bs < hi) & (be > lo)
-        straddle = live & ~inside & overlap
-        outside = live & ~inside & ~overlap
-        can_open = (cc > 0) & (e < list_cap - FOLD_MARGIN)
+        # Fragment values (exact small ints in f32): frag1 = the whole
+        # range, or the below-window clip; frag2 = the above-window clip.
+        b1v = jnp.where(emw, bev, jnp.minimum(bev, lo_f))
+        em1 = (emw | emc) & (b1v > bsv)
+        a2v = jnp.maximum(bsv, hi_f)
+        em2 = emc & (bev > a2v)
 
-        open_ = (straddle | (outside & ~accept)) & can_open
-        emit_whole = outside & ~open_
-        emit_clip = straddle & ~open_
+        dec = (jnp.where(em1, 1.0, 0.0) + jnp.where(em2, 2.0, 0.0))
+        open_f = jnp.where(openv, 1.0, 0.0)
+        smem_f[0, 0] = jnp.sum(dec * w_emit + open_f * w_open)
+        w = smem_f[0, 0].astype(jnp.int32)
 
-        # Up to two emissions: the whole range, or the <= 2 uncovered
-        # fragments of a straddling cell ([lo, hi) clip).
-        a1 = bs
-        b1 = jnp.where(emit_whole, be, jnp.minimum(be, lo))
-        em1 = emit_whole | emit_clip
-        a2 = jnp.maximum(bs, hi)
-        b2 = be
-        em2 = emit_clip
+        # (start, end) pair prototypes: value at lane 8k, partner at
+        # 8k+1 (right-rotate the partner view by one lane).
+        p1 = (jnp.where(lmod == 0, bsv, 0.0)
+              + jnp.where(lmod == 1, pltpu.roll(b1v, 1, 1), 0.0))
+        p2 = (jnp.where(lmod == 0, a2v, 0.0)
+              + jnp.where(lmod == 1, pltpu.roll(bev, 1, 1), 0.0))
 
-        def scatter(e, lost, em, a, b):
-            valid = em & (b > a)
-            fits = valid & (e < list_cap)
-            idx = jnp.where(fits, e, 0)
+        for k in range(RUN_CHUNK):
+            dk = (w >> (2 * k)) & 3
+            shift = (128 - CELL_LANES * k) % 128
+            e, lost, acc_row = append(
+                (dk & 1) == 1, pltpu.roll(p1, shift, 1), e, lost,
+                acc_row)
+            e, lost, acc_row = append(
+                (dk & 2) == 2, pltpu.roll(p2, shift, 1), e, lost,
+                acc_row)
 
-            @pl.when(fits)
-            def _():
-                rng_ref[j, 0, idx] = a.astype(jnp.float32)
-                rng_ref[j, 1, idx] = b.astype(jnp.float32)
-            return (e + fits.astype(jnp.int32),
-                    lost + (valid & ~fits).astype(jnp.int32))
+            po = ((w >> (16 + k)) & 1) == 1
+            tgt = sp + 1
 
-        e, lost = scatter(e, lost, em1, a1, b1)
-        e, lost = scatter(e, lost, em2, a2, b2)
+            @pl.when(po)
+            def _(k=k, tgt=tgt):
+                # (child_start, child_count) as ONE packed one-hot
+                # reduction: cs*16 + cc <= 2^22, f32-exact.
+                smem_f[0, 1] = jnp.sum(
+                    jnp.where(lanes == CELL_LANES * k, al * 16.0, 0.0)
+                    + jnp.where(lanes == CELL_LANES * k + 1, al, 0.0))
+                pk = smem_f[0, 1].astype(jnp.int32)
+                cs = pk >> 4
+                stack[tgt, 0] = cs
+                stack[tgt, 1] = cs + (pk & 15)
+            sp = sp + jnp.where(po, 1, 0)
+        return sp, e, lost, acc_row
 
-        # Push the child run.
-        spn = jnp.where(open_, sp + 1, sp)
+    _, e, lost, acc_row = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                     jnp.zeros((1, 128), jnp.float32)))
 
-        @pl.when(open_)
-        def _():
-            stack[spn, 0] = cs
-            stack[spn, 1] = cs + cc
-        return spn, e, lost
-
-    _, e, lost = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
-    farn_ref[0, j] = jnp.where(lost > 0, -1, e)
+    # Flush the partial last output row.
+    @pl.when(e % ENTRIES_PER_ROW != 0)
+    def _():
+        rng_ref[j, pl.ds(e // ENTRIES_PER_ROW, 1), :] = acc_row
+    farn_ref[0, 0, j] = jnp.where(lost > 0, -1, e)
+    farn_ref[0, 1, j] = 0
 
 
 @functools.partial(
@@ -262,16 +344,15 @@ def pallas_traverse_ranges(table, root_n, bounds_min, bounds_max, *,
                            list_cap, group_size, window_groups, theta,
                            softening, skin, group_offset=0,
                            groups_per_program=4, interpret=None):
-    """Per-group far-list RANGES via the VMEM DFS kernel.
+    """Per-group far-list RANGES via the run-vectorized VMEM DFS kernel.
 
     Args:
-      table: ``(cap/16, 128)`` f32 packed cells (:func:`pack_tree_table`).
+      table: ``(rows, 128)`` f32 packed cells (:func:`pack_tree_table`).
       root_n: () int32 occupied cells of the start level.
       bounds_min / bounds_max: ``(ng, 3)`` f32 raw group AABBs (the skin
-        dilation is applied here).
+        dilation is applied in-kernel).
       groups_per_program: DFS walks batched per Pallas program —
-        amortizes the ~4 us per-program overhead (3907 single-group
-        programs would idle ~15 ms against a ~100-300 ms target).
+        amortizes the per-program pipeline overhead.
     Returns:
       ``(far_range (ng, 2, L) int32, far_n (ng,) int32, ok () bool)`` —
       ``ok`` False when any group hit the hard list cap (the caller
@@ -279,23 +360,26 @@ def pallas_traverse_ranges(table, root_n, bounds_min, bounds_max, *,
 
     The table rides to the kernel in ANY (HBM) memory and is DMA'd ONCE
     into a VMEM scratch by program 0 — a VMEM input block would risk
-    Mosaic double-buffering it (2 x 8.4 MB at 1M overflows VMEM).
+    Mosaic double-buffering it (2 x ~9.6 MB at 1M overflows VMEM).
     Grid iterations execute sequentially on the core, so later programs
     see the completed copy.
     """
     ng = bounds_min.shape[0]
     L = list_cap
+    assert L % ENTRIES_PER_ROW == 0, "list_cap must be a multiple of 64"
+    rrows = L // ENTRIES_PER_ROW
     gpp = max(1, groups_per_program)
     ng2 = ((ng + gpp - 1) // gpp) * gpp
     gpad = ng2 - ng
     bounds = jnp.concatenate(
-        [(bounds_min - skin).T, (bounds_max + skin).T,
+        [bounds_min.T, bounds_max.T,
          jnp.zeros((2, ng), jnp.float32)], axis=0)           # (8, ng)
     if gpad:
         # Padding groups: empty AABB far outside the world -> everything
         # is accepted at the root, a few dozen emissions, discarded.
         bounds = jnp.pad(bounds, ((0, 0), (0, gpad)),
-                         constant_values=1e18)
+                         constant_values=1e15)
+    bounds = bounds.T.reshape(ng2 // gpp, gpp, 8).transpose(0, 2, 1)
     meta = jnp.stack(
         [jnp.asarray(group_offset, jnp.int32), jnp.int32(ng),
          jnp.asarray(root_n, jnp.int32), jnp.int32(0)]).reshape(1, 4)
@@ -306,18 +390,19 @@ def pallas_traverse_ranges(table, root_n, bounds_min, bounds_max, *,
         in_specs=[
             pl.BlockSpec((1, 4), lambda g: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, gpp), lambda g: (0, g),
+            pl.BlockSpec((1, 8, gpp), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((gpp, 2, L), lambda g: (g, 0, 0),
+            pl.BlockSpec((gpp, rrows, 128), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gpp), lambda g: (0, g),
+            pl.BlockSpec((1, 2, gpp), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
             pltpu.SMEM((STACK_CAP, 2), jnp.int32),
+            pltpu.SMEM((1, 8), jnp.float32),
             pltpu.VMEM(table.shape, jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -327,29 +412,38 @@ def pallas_traverse_ranges(table, root_n, bounds_min, bounds_max, *,
         interpret = jax.default_backend() != "tpu"
 
     def kernel(meta_ref, bounds_ref, table_hbm, rng_ref, farn_ref,
-               stack, table_vmem, sem):
+               stack, smem_f, table_vmem, sem):
         @pl.when(pl.program_id(0) == 0)
         def _():
             cp = pltpu.make_async_copy(table_hbm, table_vmem, sem)
             cp.start()
             cp.wait()
         for j in range(gpp):
-            _traverse_kernel(
-                meta_ref, bounds_ref, table_vmem, rng_ref, farn_ref,
-                stack, j, list_cap=L, gsz=group_size, wg=window_groups,
-                theta_sq=float(theta) ** 2,
-                soft_sq=float(softening) ** 2)
+            _walk_group(
+                j, meta_ref, bounds_ref, table_vmem, rng_ref, farn_ref,
+                stack, smem_f, list_cap=L, gsz=group_size,
+                wg=window_groups, theta_sq=float(theta) ** 2,
+                soft_sq=float(softening) ** 2, skin=float(skin),
+                gpp=gpp)
 
     rng_f, farn = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((ng2, 2, L), jnp.float32),
-            jax.ShapeDtypeStruct((1, ng2), jnp.int32),
+            jax.ShapeDtypeStruct((ng2, rrows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((ng2 // gpp, 2, gpp), jnp.int32),
         ],
         interpret=interpret,
     )(meta, bounds, table)
 
-    farn = farn.reshape(ng2)[:ng]
+    farn = farn[:, 0, :].reshape(ng2)[:ng]
     ok = jnp.all(farn >= 0)
-    return (rng_f[:ng].astype(jnp.int32), jnp.maximum(farn, 0), ok)
+    far_n = jnp.maximum(farn, 0)
+    # Entry m lives at (row m//64, lanes 2(m%64) + {0, 1}): reshape to
+    # (ng, rows, 64, 2) and fold rows x 64 into the entry axis.
+    ranges = rng_f[:ng].reshape(ng, rrows, ENTRIES_PER_ROW, 2)
+    ranges = ranges.transpose(0, 3, 1, 2).reshape(ng, 2, L)
+    mask = (jnp.arange(L, dtype=jnp.int32)[None, None, :]
+            < far_n[:, None, None])
+    far_range = jnp.where(mask, ranges, 0.0).astype(jnp.int32)
+    return far_range, far_n, ok
