@@ -156,7 +156,9 @@ def main(argv=None) -> int:
     p.add_argument("--depth", type=int, default=8)
     p.add_argument("--list-cap", type=int, default=6144)
     p.add_argument("--skin", type=float, default=2.0)
-    p.add_argument("--rebuild-interval", type=int, default=48)
+    p.add_argument("--rebuild-interval", type=int, default=24,
+                   help="24 = the measured honest-accuracy default "
+                        "(worst-of-interval rms at the fresh floor)")
     p.add_argument("--refresh-interval", type=int, default=0,
                    help="moment-refresh cadence between rebuilds (0 off)")
     p.add_argument("--drift-mode", choices=["max", "off"], default="off")
@@ -218,7 +220,7 @@ def main(argv=None) -> int:
             rate = bench_nbody(
                 n=n, steps=48, chain=24, distribution="cluster",
                 group_size=0, depth=0, list_cap=0,
-                rebuild_interval=48, **common)
+                rebuild_interval=args.rebuild_interval, **common)
             frame_ms = 1000.0 / rate
             base_ms = 1000.0 / reference_steps_per_sec(n, args.theta)
             print(json.dumps({

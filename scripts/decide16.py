@@ -45,8 +45,10 @@ def run(n):
           f"{getattr(cfg, 'resort_interval', 6)}", flush=True)
 
     # Sustained full step (substep-chained, includes resort cadence).
-    st = init_boids_window_state(pos, vel, col, cfg)
     for K in (6, 24):
+        # Fresh state per variant: the step donates its input buffers,
+        # so a shared `st` is deleted after the first call.
+        st = init_boids_window_state(pos, vel, col, cfg)
         step = make_step_fn(cfg, substeps=K)
         st2 = step(st, jnp.float32(0.02))
         np.asarray(st2.pos[0, :1])

@@ -74,7 +74,15 @@ class NBodyConfig:
     # 3.2% -> 4.2% at skin 6).  2.0 keeps a small margin at the measured
     # error optimum.
     skin: float = 2.0
-    rebuild_interval: int = 48   # max steps between list rebuilds
+    # Max steps between list rebuilds.  24 is the measured honest
+    # default at 1M θ=0.8 with the order-2 advance (docs/measurements_r4
+    # staleness scans): worst-of-interval force rms at τ=24 is 5.7%
+    # frozen / 5.8% with refresh@12 — AT the fresh-rebuild floor
+    # (5.4-5.8%) — while τ=48 degrades to 19.9% (refresh@12) / 25.5%
+    # (frozen), which fails the ≤10% production bar.  Past τ≈24 the
+    # dominant aging is GEOMETRIC (build-time acceptance + frozen
+    # Morton windows vs drift), which no moment refresh can fix.
+    rebuild_interval: int = 24
     # Moment refresh cadence (steps; 0 = off): between full rebuilds,
     # re-materialize every far entry's monopole moments from prefix sums
     # over the CURRENT sorted state (ops/bh_window.refresh_lists) — the
@@ -137,11 +145,12 @@ class NBodyConfig:
     # DMA at 1M and the difference between fitting and not at EXTREME
     # scales — and makes moment refreshes ~4x cheaper.  Monopole only
     # (use_quadrupole forces dense); the sharded engine forces dense
-    # (its halo eval reads per-device blocks).  DEFAULT OFF until the
-    # manual-DMA kernel is compile-validated on real TPU hardware (the
-    # tunnel died before scripts/decide14.py could run it; interpret
-    # mode and the full CPU suite pass) — flip to 512 once it is.
-    pool_tile: int = 0
+    # (its halo eval reads per-device blocks).  Validated on real TPU
+    # 2026-08-18 (docs/measurements_r4/decide14_pool.log): the
+    # manual-DMA pooled eval compiles and runs at 29.7 ms marginal
+    # (dense parity) and the pooled ranges-emission rebuild takes
+    # 1757 ms vs ~2.2 s dense at 1M.
+    pool_tile: int = 512
     # Traversal emission mode: "values" scatters every entry's moment
     # columns during traversal (7-10 f32 columns/level); "ranges"
     # scatters only the (start, end) body range (2 int32 columns) and

@@ -792,8 +792,9 @@ def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
                    and (emit_mode == "ranges"
                         or (emit_mode == "auto" and bool(pool_tile))
                         or kernel_mode))
+    from spatialsim_tpu.ops.bh_traverse_kernel import kernel_feasible
     use_tkernel = (kernel_mode and emit_ranges
-                   and near_groups == 0 and npad <= 2_000_000)
+                   and near_groups == 0 and kernel_feasible(npad))
     if use_tkernel:
         # Sequential in-VMEM DFS kernel (ops/bh_traverse_kernel.py):
         # visits cost ~one packed row read instead of the XLA path's
