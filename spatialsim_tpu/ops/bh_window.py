@@ -621,8 +621,14 @@ def _auto_budget(npad: int) -> int:
     the gentle case (measured 2026-08-17, scripts/nbody_error.py).
     """
     budget = max(262_144, int(4.2 * npad))
+    # 20.5M, not 20M: the 20M EXTREME preset PADS to 20,000,768 slots
+    # (group multiples), and crossing into the 40M branch at exactly the
+    # advertised scale made the traversal's [W, 6] gather intermediate
+    # (whose minor dim pads to 128 lanes on TPU, 21x) a 20.5 GB
+    # compile-time allocation failure (docs/measurements_r4/
+    # extreme_20m.log).
     cap = (6_000_000 if npad <= 4_200_000 else
-           10_000_000 if npad <= 20_000_000 else 40_000_000)
+           10_000_000 if npad <= 20_500_000 else 40_000_000)
     return min(budget, cap)
 
 
