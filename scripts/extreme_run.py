@@ -48,11 +48,14 @@ def main():
     n = int(float(sys.argv[1])) if len(sys.argv) > 1 else 20_000_000
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     theta = float(sys.argv[3]) if len(sys.argv) > 3 else default_theta(n)
+    pool_over = int(sys.argv[4]) if len(sys.argv) > 4 else -1
 
     cfg = resolve_config(NBodyConfig(
         num_bodies=n, theta=theta, G=0.08, softening=3.0, damping=1.0,
         spawn_radius=700.0, distribution="cluster", engine="window",
         rebuild_drift_mode="off"), n)
+    if pool_over >= 0:
+        cfg = cfg.replace(pool_tile=pool_over)
     print(f"n={n:,} theta={theta} depth={cfg.max_depth} "
           f"gsz={cfg.group_size} L={cfg.list_capacity} "
           f"interval={cfg.rebuild_interval} adv={cfg.advance_order} "
@@ -72,6 +75,18 @@ def main():
     jax.block_until_ready(state.pos)
     print(f"first build: {time.perf_counter() - t0:.0f} s | {hbm_stats()}",
           flush=True)
+
+    # List/pool health: saturation and capacity folds are the two ways
+    # accuracy silently degrades at EXTREME scale.
+    fn = np.asarray(state.lists.far_n)
+    li = f"far_n mean={fn.mean():.0f} p99={np.percentile(fn, 99):.0f} " \
+         f"max={fn.max()} at_cap={(fn >= cfg.list_capacity - 1).sum()} " \
+         f"folded={(fn <= 1).sum()}/{fn.shape[0]}"
+    if state.lists.pool is not None:
+        ps = np.asarray(state.lists.pstart)
+        tiles_used = int(ps[-1] + -(-int(fn[-1]) // cfg.pool_tile))
+        li += (f" | pool tiles {tiles_used}/{state.lists.pool.shape[0]}")
+    print(li, flush=True)
 
     # Oracle sample BEFORE stepping (fresh lists): force error on 1024
     # random bodies vs direct sum over all n.

@@ -54,14 +54,30 @@ def timeit(fn, reps=2):
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    base = NBodyConfig(
-        num_bodies=n, theta=0.8, G=0.1, softening=2.0, spawn_radius=500.0,
-        distribution="galaxy", engine="window", max_depth=8, group_size=256,
-        window_groups=2, list_capacity=6144, skin=6.0,
-        use_quadrupole=False)
+    if n > 4_000_000:
+        # Production-accuracy measurement at EXTREME scale (the driver's
+        # 10M config is the Plummer cluster): the resolved engine shape
+        # (pooled ranges, depth 9, gsz 1024) — the 1M quadrupole
+        # frontier's dense/values variants exhaust HBM here (round-4
+        # quad_scan_10m: compile asked 29.8 GB).
+        from spatialsim_tpu.config.nbody import resolve_config
+        base = resolve_config(NBodyConfig(
+            num_bodies=n, theta=0.8, G=0.1, softening=2.0,
+            spawn_radius=500.0, distribution="cluster",
+            engine="window"), n)
+        variants = [("prod", {}),
+                    ("prod_d8", {"max_depth": 8}),
+                    ("prod_theta1.0", {"theta": 1.0})]
+    else:
+        base = NBodyConfig(
+            num_bodies=n, theta=0.8, G=0.1, softening=2.0,
+            spawn_radius=500.0, distribution="galaxy", engine="window",
+            max_depth=8, group_size=256, window_groups=2,
+            list_capacity=6144, skin=6.0, use_quadrupole=False)
+        variants = None
 
     pp, vv, mm = distributions.generate_distribution(
-        "galaxy", n, base.spawn_radius, base.G, seed=0)
+        base.distribution, n, base.spawn_radius, base.G, seed=0)
     pos = jnp.asarray(pp.T, jnp.float32)
     vel = jnp.asarray(vv.T, jnp.float32)
     mass = jnp.asarray(mm, jnp.float32)
@@ -72,20 +88,21 @@ def main():
                                       base.softening ** 2))
     print("oracle ready", flush=True)
 
-    variants = [
-        ("mono_d7", {"max_depth": 7}),
-        ("quad_d7_s1.0", {"max_depth": 7, "use_quadrupole": True,
-                          "quad_accept_scale": 1.0}),
-        ("quad_d7_s1.0_L3k", {"max_depth": 7, "use_quadrupole": True,
-                              "quad_accept_scale": 1.0,
-                              "list_capacity": 3072}),
-        ("quad_d7_s1.2_L3k", {"max_depth": 7, "use_quadrupole": True,
-                              "quad_accept_scale": 1.2,
-                              "list_capacity": 3072}),
-        ("mono_d6", {"max_depth": 6}),
-        ("quad_d6_s1.0", {"max_depth": 6, "use_quadrupole": True,
-                          "quad_accept_scale": 1.0}),
-    ]
+    if variants is None:
+        variants = [
+            ("mono_d7", {"max_depth": 7}),
+            ("quad_d7_s1.0", {"max_depth": 7, "use_quadrupole": True,
+                              "quad_accept_scale": 1.0}),
+            ("quad_d7_s1.0_L3k", {"max_depth": 7, "use_quadrupole": True,
+                                  "quad_accept_scale": 1.0,
+                                  "list_capacity": 3072}),
+            ("quad_d7_s1.2_L3k", {"max_depth": 7, "use_quadrupole": True,
+                                  "quad_accept_scale": 1.2,
+                                  "list_capacity": 3072}),
+            ("mono_d6", {"max_depth": 6}),
+            ("quad_d6_s1.0", {"max_depth": 6, "use_quadrupole": True,
+                              "quad_accept_scale": 1.0}),
+        ]
     for tag, over in variants:
         cfg = base.replace(**over)
         kw = _build_kw(cfg)

@@ -199,15 +199,20 @@ def resolve_config(config: NBodyConfig, n: int) -> NBodyConfig:
         kw["list_capacity"] = (6144 if n <= 4_000_000 else
                                8192 if n <= 20_000_000 else 2048)
     if config.advance_order == 0:
-        kw["advance_order"] = 2
-    if (n > 20_000_000 and config.pool_tile
-            and config.traversal_emit == "values"):
-        # Value-emitting pool compaction gathers FROM the dense far
-        # tensor INTO the pool — both live at once during the rebuild,
-        # and at 50M that transient (~6.4 GB dense + ~4 GB pool) would
-        # not leave room for the state.  The default "auto"/"ranges"
-        # emission materializes moments straight into the pool
-        # (ops/bh_window._finish_pool_ranges) and has no such transient.
+        # Order 2 stores per-cell mean acceleration: 3 extra far rows
+        # AND 6 extra compensated-prefix columns.  At 50M that is
+        # ~2.4 GB of HBM for an accuracy term that matters in THETA=0.8
+        # cores — the >20M EXTREME ladder runs theta 1.4-1.5 where the
+        # acceptance error dominates, so ballistic advance is the right
+        # trade there.
+        kw["advance_order"] = 2 if n <= 20_500_000 else 1
+    if config.pool_tile and n > 20_500_000:
+        # The pool's static tile capacity must cover worst-case
+        # emissions (overflow folds whole groups to residuals), and a
+        # pool tile carries 16 rows vs the dense tensor's 7-10 — at the
+        # 50M shape (worklist budget 40M) a safe pool is BIGGER than
+        # the dense far tensor.  Dense-from-ranges (no transient) is
+        # the memory-optimal layout above 20.5M.
         kw["pool_tile"] = 0
     if config.traversal_emit == "auto" and n > 4_000_000:
         # Values emission holds the scatter columns AND the gathered

@@ -376,10 +376,17 @@ def _eval_kernel_pool(adv_ref, pstart_ref, far_n_ref, *rest, soft_sq, G,
         # Far pool: double-buffered tile stream, one DMA per tile.
         t0 = pstart_ref[g]
         n_t = (far_n_ref[g] + tile - 1) // tile
+        # Hard in-bounds clamp: a pool-capacity overflow at build time
+        # folds whole groups to residuals (bh_window._finish_pool_ranges)
+        # so indices should never exceed the cap — but an out-of-bounds
+        # DMA is an unrecoverable device INTERNAL error (observed at 20M
+        # round 4), so the last tile is the floor either way.
+        t_max = pool_ref.shape[0] - 1
 
         def start(t, t0=t0):
             slot = jax.lax.rem(t, 2)
-            pltpu.make_async_copy(pool_ref.at[t0 + t], bufs.at[slot],
+            src = jnp.minimum(t0 + t, t_max)
+            pltpu.make_async_copy(pool_ref.at[src], bufs.at[slot],
                                   sems.at[slot]).start()
 
         @pl.when(n_t > 0)
@@ -388,7 +395,8 @@ def _eval_kernel_pool(adv_ref, pstart_ref, far_n_ref, *rest, soft_sq, G,
 
         def far_body(t, accs, t0=t0, n_t=n_t, tg=tg):
             slot = jax.lax.rem(t, 2)
-            pltpu.make_async_copy(pool_ref.at[t0 + t], bufs.at[slot],
+            src = jnp.minimum(t0 + t, t_max)
+            pltpu.make_async_copy(pool_ref.at[src], bufs.at[slot],
                                   sems.at[slot]).wait()
 
             @pl.when(t + 1 < n_t)

@@ -59,10 +59,17 @@ from spatialsim_tpu.ops.octree import Octree
 
 CELL_LANES = 8           # attrs per cell in the packed table
 CELLS_PER_ROW = 16       # 16 cells x 8 lanes = 128 lanes
-RUN_CHUNK = 8            # cells processed per DFS iteration
+RUN_CHUNK = 8            # cells per run slice
+RUN_BATCH = 4            # runs popped + processed per batched iteration
 ENTRIES_PER_ROW = 64     # (start, end) pairs interleaved on 128 lanes
-FOLD_MARGIN = 64         # stop opening this many entries before the cap
-STACK_CAP = 96           # run-stack depth bound (levels x RUN_CHUNK + margin)
+# Stop opening once within this many entries of the cap; equals the
+# max entries one batched iteration can add (RUN_BATCH * RUN_CHUNK * 2),
+# so gated opens can never hard-overflow on their own.
+FOLD_MARGIN = RUN_BATCH * RUN_CHUNK * 2
+# Run-stack bound: one iteration pops RUN_BATCH entries but can push
+# back RUN_BATCH remainders + RUN_BATCH*RUN_CHUNK child runs; depth is
+# bounded by ~ (RUN_BATCH*RUN_CHUNK + RUN_BATCH) per tree level.
+STACK_CAP = 384
 
 # VMEM budget for the packed table (the 16 MB scoped-vmem limit must
 # also hold the double-buffered output blocks and temporaries).
@@ -225,18 +232,10 @@ def _walk_group(j, meta_ref, bounds_ref, table, rng_ref, farn_ref, stack,
         sp, e, lost, acc_row = state
         return sp >= 0
 
-    def body(state):
-        sp, e, lost, acc_row = state
-        s = stack[sp, 0]
-        t = stack[sp, 1]
-        chunk = jnp.minimum(t - s, RUN_CHUNK)
-        keep = t - s > RUN_CHUNK
-
-        @pl.when(keep)
-        def _():
-            stack[sp, 0] = s + RUN_CHUNK
-        sp = jnp.where(keep, sp, sp - 1)
-
+    def run_phase1(q, s, t, chunk, e_ok):
+        """One run's vector stage: read, align, decide; the decision
+        word lands in smem_f[0, q].  Returns the registers phase 2
+        needs (aligned row for push extraction, pair prototypes)."""
         # Aligned run row: cells s..s+chunk-1 at lanes 8k..8k+7.
         row = s // CELLS_PER_ROW
         base8 = (s % CELLS_PER_ROW) * CELL_LANES
@@ -272,7 +271,6 @@ def _walk_group(j, meta_ref, bounds_ref, table, rng_ref, farn_ref, stack,
         ovl = (bsv < hi_f) & (bev > lo_f)
         straddle = live & ~inside & ovl
         outside = live & ~inside & ~ovl
-        e_ok = e < L - FOLD_MARGIN
         openv = (straddle | (outside & ~accept)) & (ccv > 0.0) & e_ok
         emw = outside & ~openv
         emc = straddle & ~openv
@@ -286,8 +284,7 @@ def _walk_group(j, meta_ref, bounds_ref, table, rng_ref, farn_ref, stack,
 
         dec = (jnp.where(em1, 1.0, 0.0) + jnp.where(em2, 2.0, 0.0))
         open_f = jnp.where(openv, 1.0, 0.0)
-        smem_f[0, 0] = jnp.sum(dec * w_emit + open_f * w_open)
-        w = smem_f[0, 0].astype(jnp.int32)
+        smem_f[0, q] = jnp.sum(dec * w_emit + open_f * w_open)
 
         # (start, end) pair prototypes: value at lane 8k, partner at
         # 8k+1 (right-rotate the partner view by one lane).
@@ -295,32 +292,73 @@ def _walk_group(j, meta_ref, bounds_ref, table, rng_ref, farn_ref, stack,
               + jnp.where(lmod == 1, pltpu.roll(b1v, 1, 1), 0.0))
         p2 = (jnp.where(lmod == 0, a2v, 0.0)
               + jnp.where(lmod == 1, pltpu.roll(bev, 1, 1), 0.0))
+        return al, p1, p2
 
-        for k in range(RUN_CHUNK):
-            dk = (w >> (2 * k)) & 3
-            shift = (128 - CELL_LANES * k) % 128
-            e, lost, acc_row = append(
-                (dk & 1) == 1, pltpu.roll(p1, shift, 1), e, lost,
-                acc_row)
-            e, lost, acc_row = append(
-                (dk & 2) == 2, pltpu.roll(p2, shift, 1), e, lost,
-                acc_row)
+    def body(state):
+        """One BATCHED iteration: pop up to RUN_BATCH runs, issue their
+        reads + decision-word reductions back-to-back (the composite
+        iteration core amortizes 1646 -> 415 ns/run from k1 to k4 —
+        decide18), then decode all words and do the scalar work
+        (appends, child pushes, remainder push-backs)."""
+        sp, e, lost, acc_row = state
+        q_avail = jnp.minimum(sp + 1, RUN_BATCH)
+        # Fold guard shared by the whole batch: at most RUN_BATCH * 16
+        # new entries per iteration = FOLD_MARGIN, so opens gated here
+        # can never hard-overflow the list by themselves.
+        e_ok = e < L - FOLD_MARGIN
 
-            po = ((w >> (16 + k)) & 1) == 1
+        runs = []
+        for q in range(RUN_BATCH):
+            active = q < q_avail
+            idx = jnp.maximum(sp - q, 0)
+            s = stack[idx, 0]
+            t = stack[idx, 1]
+            chunk = jnp.where(active, jnp.minimum(t - s, RUN_CHUNK), 0)
+            al, p1, p2 = run_phase1(q, s, t, chunk, e_ok)
+            runs.append((active, s, t, al, p1, p2))
+        sp = sp - q_avail
+
+        for q in range(RUN_BATCH):
+            active, s, t, al, p1, p2 = runs[q]
+            w = smem_f[0, q].astype(jnp.int32)
+            for k in range(RUN_CHUNK):
+                dk = (w >> (2 * k)) & 3
+                shift = (128 - CELL_LANES * k) % 128
+                e, lost, acc_row = append(
+                    (dk & 1) == 1, pltpu.roll(p1, shift, 1), e, lost,
+                    acc_row)
+                e, lost, acc_row = append(
+                    (dk & 2) == 2, pltpu.roll(p2, shift, 1), e, lost,
+                    acc_row)
+
+                po = ((w >> (16 + k)) & 1) == 1
+                tgt = sp + 1
+
+                @pl.when(po)
+                def _(k=k, tgt=tgt, al=al):
+                    # (child_start, child_count) as ONE packed one-hot
+                    # reduction: cs*16 + cc <= 2^22, f32-exact.
+                    smem_f[0, RUN_BATCH] = jnp.sum(
+                        jnp.where(lanes == CELL_LANES * k,
+                                  al * 16.0, 0.0)
+                        + jnp.where(lanes == CELL_LANES * k + 1,
+                                    al, 0.0))
+                    pk = smem_f[0, RUN_BATCH].astype(jnp.int32)
+                    cs = pk >> 4
+                    stack[tgt, 0] = cs
+                    stack[tgt, 1] = cs + (pk & 15)
+                sp = sp + jnp.where(po, 1, 0)
+
+            # Remainder push-back: the batch pops whole stack entries,
+            # so a run longer than RUN_CHUNK returns its tail.
+            rem = active & (t - s > RUN_CHUNK)
             tgt = sp + 1
 
-            @pl.when(po)
-            def _(k=k, tgt=tgt):
-                # (child_start, child_count) as ONE packed one-hot
-                # reduction: cs*16 + cc <= 2^22, f32-exact.
-                smem_f[0, 1] = jnp.sum(
-                    jnp.where(lanes == CELL_LANES * k, al * 16.0, 0.0)
-                    + jnp.where(lanes == CELL_LANES * k + 1, al, 0.0))
-                pk = smem_f[0, 1].astype(jnp.int32)
-                cs = pk >> 4
-                stack[tgt, 0] = cs
-                stack[tgt, 1] = cs + (pk & 15)
-            sp = sp + jnp.where(po, 1, 0)
+            @pl.when(rem)
+            def _(tgt=tgt, s=s, t=t):
+                stack[tgt, 0] = s + RUN_CHUNK
+                stack[tgt, 1] = t
+            sp = sp + jnp.where(rem, 1, 0)
         return sp, e, lost, acc_row
 
     _, e, lost, acc_row = jax.lax.while_loop(

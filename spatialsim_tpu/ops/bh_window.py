@@ -396,10 +396,27 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
         active = (jnp.arange(W) < wl_n) & (wl_c >= 0)
         cidx = jnp.clip(wl_c, 0, lv.code.shape[0] - 1)
         gidx = jnp.clip(wl_g, 0, ng - 1)
+
+        # Packed (k, n)[:, idx] gathers are the fast form (18 ns/slot at
+        # W=4M, scripts/decide19.py) — but XLA materializes their
+        # [W, k] intermediate with the minor dim PADDED to 128 lanes,
+        # and at the EXTREME worklist widths that padding is a single
+        # >20 GB allocation ([40M, 6] killed the 20M and 50M runs at
+        # compile).  Above this width the k separate flat gathers
+        # (~2.5x the per-slot cost, zero padding) are the only form
+        # that fits.
+        unpadded = W > 8_000_000
+
+        def pgather(rows2d, idx):
+            if unpadded:
+                return jnp.stack([rows2d[r][idx]
+                                  for r in range(rows2d.shape[0])])
+            return rows2d[:, idx]
+
         # TWO packed gathers for every per-cell attribute (floats + ints
         # — see _pack_levels).
-        A = packed_levels[li][0][:, cidx]          # (n_cols, W) f32
-        ci = packed_levels[li][1][:, cidx]         # (4, W) int32
+        A = pgather(packed_levels[li][0], cidx)    # (n_cols, W) f32
+        ci = pgather(packed_levels[li][1], cidx)   # (4, W) int32
         ccom = A[0:3]
         cvel = A[3:6]
         cmass = jnp.where(active, A[6], 0.0)
@@ -414,10 +431,10 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
                 + tuple(A[i] for i in range(7, n_cols))
                 if emit_values else None)
 
-        B = bounds[:, gidx]                        # (6, W)
+        B = pgather(bounds, gidx)                  # (6, W)
         gmin = B[0:3]
         gmax = B[3:6]
-        iv = iv_pack[:, gidx]                      # (2M, W) int32
+        iv = pgather(iv_pack, gidx)                # (2M, W) int32
 
         # Covered-union tests in GLOBAL body indices.  Containment within
         # the union implies containment within a single interval (merged
@@ -584,8 +601,11 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
             slot = jnp.arange(W_next, dtype=jnp.int32)
             wl_n = base[-1] + cc[-1]
             live = slot < wl_n
-            runs = jnp.stack([run_cs, run_g, run_base])
-            R3 = runs[:, seg]                          # one packed gather
+            if W_next > 8_000_000:
+                R3 = jnp.stack([run_cs[seg], run_g[seg], run_base[seg]])
+            else:
+                runs = jnp.stack([run_cs, run_g, run_base])
+                R3 = runs[:, seg]                      # one packed gather
             wl_c = jnp.where(live, R3[0] + (slot - R3[2]), -1)
             wl_g = jnp.where(live, R3[1], ng)
             wl_sizes.append(wl_n)
@@ -856,7 +876,7 @@ def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
                 quadrupole=quadrupole, with_acc=acc is not None,
                 with_ranges=with_ranges, emit_values=not emit_ranges)
     if pool_tile and emit_ranges:
-        cap = pool_cap_tiles(budget, ng, pool_tile)
+        cap = pool_cap_tiles(budget, ng, pool_tile, npad)
         return _finish_pool_ranges(
             far_range, far_n, sl_start, sl_end, sl_n, res,
             s_pos, s_vel, s_mass, order, order_pad, pos, n, list_cap,
@@ -867,12 +887,12 @@ def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
                           s_acc=s_acc, near=near)
     if pool_tile:
         assert not quadrupole, "pool layout is monopole-only"
-        cap = pool_cap_tiles(budget, ng, pool_tile)
-        pool, pstart = build_pool(lists.far, lists.far_range,
-                                  lists.far_n, tile=pool_tile,
-                                  cap_tiles=cap)
-        lists = lists._replace(pool=pool, pstart=pstart, far=None,
-                               far_range=None)
+        cap = pool_cap_tiles(budget, ng, pool_tile, npad)
+        pool, pstart, far_n2 = build_pool(lists.far, lists.far_range,
+                                          lists.far_n, tile=pool_tile,
+                                          cap_tiles=cap)
+        lists = lists._replace(pool=pool, pstart=pstart, far_n=far_n2,
+                               far=None, far_range=None)
     return lists
 
 
@@ -1007,14 +1027,22 @@ def _finish_lists(far, far_range, far_n, sl_start, sl_end, sl_n, res,
 POOL_ROWS = 16
 
 
-def pool_cap_tiles(budget: int, ng: int, tile: int) -> int:
-    """Static tile capacity that can NEVER overflow.
+def pool_cap_tiles(budget: int, ng: int, tile: int, npad: int = 0) -> int:
+    """Static tile capacity sized to measured emission totals.
 
-    Far emissions are bounded by the worklist budget (<= one per
-    visited slot), plus <= SLIVER_CAP sliver entries and one residual
-    per group; tile-ceil waste adds < 1 tile per group.
+    Round 3 claimed emissions <= the worklist budget ("one per visited
+    slot") — FALSE: slots across ALL levels can emit, and the measured
+    1M total is ~1.3x the budget (10605 of 12608 tiles used,
+    docs/measurements_r4/decide14_pool.log), saved only by the margin
+    terms.  Above 4M bodies the per-level caps (and therefore possible
+    emissions) are several budget multiples, so the budget term scales
+    2.5x there; a cumulative overflow beyond the static cap is handled
+    GRACEFULLY (whole-group fold into the mass-conserving residual,
+    :func:`_finish_pool_ranges`) instead of the out-of-bounds pool DMA
+    that killed the first 20M run.
     """
-    return (budget + ng * (SLIVER_CAP + 1)) // tile + ng + 1
+    factor = 1 if (npad or 0) <= 4_200_000 else 2.5
+    return int(factor * budget + ng * (SLIVER_CAP + 1)) // tile + ng + 1
 
 
 def build_pool(far, far_range, far_n, *, tile, cap_tiles):
@@ -1030,6 +1058,36 @@ def build_pool(far, far_range, far_n, *, tile, cap_tiles):
     """
     ng, R, L = far.shape
     assert R in (8, 10), "pool layout is monopole-only"
+
+    # Cumulative-capacity guard (same contract as _finish_pool_ranges):
+    # a group whose tiles would start past the cap folds its WHOLE far
+    # list into one mass-conserving residual entry instead of laying
+    # out-of-bounds tiles for the eval kernel's DMA to chase.
+    tiles_try = (far_n + tile - 1) // tile
+    start_try = jnp.cumsum(tiles_try) - tiles_try
+    unfit = start_try + tiles_try > cap_tiles - ng
+
+    def fold_groups(args):
+        far, far_n = args
+        k = jnp.arange(L, dtype=jnp.int32)[None, :]
+        em = jnp.where((k < far_n[:, None]) & unfit[:, None], 1.0, 0.0)
+        w = far[:, 6, :] * em                       # entry masses
+        m = jnp.sum(w, axis=1)
+        inv = jnp.where(m > 0, 1.0 / jnp.maximum(m, 1e-30), 0.0)
+        fold = [jnp.sum(far[:, i, :] * w, axis=1) * inv
+                for i in range(R) if i != 6]
+        fold.insert(6, m)
+        entry0 = jnp.stack(fold, axis=1)            # (ng, R)
+        far = jnp.where(
+            unfit[:, None, None],
+            jnp.zeros_like(far).at[:, :, 0].set(entry0), far)
+        return far, jnp.where(unfit, 1, far_n)
+
+    far, far_n = jax.lax.cond(jnp.any(unfit), fold_groups,
+                              lambda a: a, (far, far_n))
+    if far_range is not None:
+        far_range = jnp.where(unfit[:, None, None], 0, far_range)
+
     tiles_g = (far_n + tile - 1) // tile
     pstart = (jnp.cumsum(tiles_g) - tiles_g).astype(jnp.int32)
 
@@ -1063,7 +1121,9 @@ def build_pool(far, far_range, far_n, *, tile, cap_tiles):
     vals = jnp.concatenate(
         [vals, jnp.zeros((POOL_ROWS - 14, vals.shape[1]), jnp.float32)])
     pool = vals.reshape(POOL_ROWS, cap_tiles, tile).transpose(1, 0, 2)
-    return pool, pstart
+    # far_n must ship back: capacity folds shrink a group's list to one
+    # residual entry, and the eval's tile count is ceil(far_n / tile).
+    return pool, pstart, far_n
 
 
 def _pool_ranges(pool):
@@ -1130,6 +1190,43 @@ def _finish_pool_ranges(far_range, far_n, sl_start, sl_end, sl_n, res,
             [jnp.sum(seg_sl[i] * om, axis=1) for i in range(n_pref)],
             axis=1)
     res = jax.lax.cond(jnp.any(over), fold, lambda r: r, res)
+
+    # Pool-capacity guard: the static tile cap bounds the CUMULATIVE
+    # layout, and a group whose tiles would start past it must not be
+    # assembled at all — its pstart would send the eval kernel's tile
+    # DMA out of bounds (an unrecoverable device INTERNAL error,
+    # observed at the 20M EXTREME scale round 4).  Such a group's
+    # ENTIRE far list folds into its mass-conserving residual: bounded
+    # error on a rare path, never a crash.  Chunked so the fold's
+    # prefix-sum gathers stay ~(ng, 512) per step instead of (ng, L).
+    tiles_try = (far_n + 1 + tile - 1) // tile           # +1: residual
+    start_try = jnp.cumsum(tiles_try) - tiles_try
+    # The last ng tiles are reserved so every folded group's single
+    # residual tile provably fits in the second layout pass.
+    unfit = start_try + tiles_try > cap_tiles - ng
+
+    def fold_groups(args):
+        res, far_n = args
+        fs2 = fr_s.reshape(ng, L)
+        fe2 = fr_e.reshape(ng, L)
+        CH = 512 if L % 512 == 0 else L
+
+        def chunk(i, acc):
+            sl = jax.lax.dynamic_slice_in_dim(fs2, i * CH, CH, 1)
+            el = jax.lax.dynamic_slice_in_dim(fe2, i * CH, CH, 1)
+            seg = _comp_seg(pref, sl, el)                # (P, ng, CH)
+            em = ((i * CH + jnp.arange(CH, dtype=jnp.int32))[None, :]
+                  < far_n[:, None]) & unfit[:, None]
+            emf = jnp.where(em, 1.0, 0.0)
+            return acc + jnp.stack(
+                [jnp.sum(seg[p] * emf, axis=1) for p in range(n_pref)],
+                axis=1)
+        add = jax.lax.fori_loop(
+            0, L // CH, chunk, jnp.zeros((ng, n_pref), jnp.float32))
+        return res + add, jnp.where(unfit, 0, far_n)
+
+    res, far_n = jax.lax.cond(jnp.any(unfit), fold_groups,
+                              lambda a: a, (res, far_n))
 
     # Residual slot (appended right after the real entries, like the
     # dense path).

@@ -77,59 +77,68 @@ def _window_accumulate(s_pos, s_vel, s_col, s_grpf, *, gsz, wg,
                 rows[12].reshape(ng, gsz).astype(jnp.int32),
                 sh(rows[3:6]), sh(rows[6:9]), sh(rows[9:12]),
                 rows[13].reshape(ng, gsz).astype(jnp.int32))
-    W = (2 * wg + 1) * gsz
-
-    def shifts(a, fill):
-        ap = jnp.pad(a, ((0, 0), (wg * gsz, wg * gsz)),
-                     constant_values=fill)
-        return jnp.stack([
-            jax.lax.dynamic_slice_in_dim(ap, k * gsz, npad, axis=1)
-            .reshape(a.shape[0], ng, gsz)
-            for k in range(2 * wg + 1)], axis=2)      # (C, ng, S, gsz)
-
-    wpos = shifts(s_pos, 2e9).transpose(1, 0, 2, 3).reshape(ng, 3, W)
-    wvel = shifts(s_vel, 0.0).transpose(1, 0, 2, 3).reshape(ng, 3, W)
-    wcol = shifts(s_col, 0.0).transpose(1, 0, 2, 3).reshape(ng, 3, W)
-
-    gpos = jnp.moveaxis(s_pos.reshape(3, ng, gsz), 1, 0)
-    gvel = jnp.moveaxis(s_vel.reshape(3, ng, gsz), 1, 0)
-    gcol = jnp.moveaxis(s_col.reshape(3, ng, gsz), 1, 0)
+    # k-SHIFT accumulation: for each window offset k in [-wg, wg], pair
+    # every (ng, gsz) target block against the k-shifted block VIEW of
+    # the flat padded array.  The round-2/3 form pre-materialized
+    # (ng, 3, W) window stacks via pad + 2wg+1 dynamic slices + stack +
+    # 4-D transpose — measured round 4 (scripts/decide16.py) that
+    # window construction cost MORE than the pair math itself (~18 ms
+    # of pass-1's 32.9 ms at 500K vs ~15 ms of accumulate).  Shifted
+    # flat slices are contiguous, need no transposes, and fuse into the
+    # same pair loops.
+    pw = wg * gsz
+    P = jnp.pad(s_pos, ((0, 0), (pw, pw)), constant_values=2e9)
+    V = jnp.pad(s_vel, ((0, 0), (pw, pw)))
+    C = jnp.pad(s_col, ((0, 0), (pw, pw)))
+    gpos = s_pos.reshape(3, ng, gsz)
     if s_grpf is not None:
-        wgrp = shifts(s_grpf, 1e9).transpose(1, 0, 2, 3).reshape(ng, 1, W)
-        ggrp = jnp.moveaxis(s_grpf.reshape(1, ng, gsz), 1, 0)
-    else:
-        wgrp = jnp.zeros((ng, 1, 1), jnp.float32)
-        ggrp = jnp.zeros((ng, 1, 1), jnp.float32)
-
+        G = jnp.pad(s_grpf, ((0, 0), (pw, pw)), constant_values=1e9)
+        ggrp = s_grpf.reshape(ng, gsz)
     # Dedup threshold: how wide the PREVIOUS pass's window was (its own
     # wg), not this pass's.
     wg_f = jnp.float32(prev_wg if prev_wg is not None else wg)
 
-    def one_group(gp, gv, gc, gg, wp, wv, wc, wgp):
-        d = gp[:, :, None] - wp[:, None, :]            # (3, gsz, W)
+    sep = jnp.zeros((3, ng, gsz), jnp.float32)
+    align = jnp.zeros((3, ng, gsz), jnp.float32)
+    coh = jnp.zeros((3, ng, gsz), jnp.float32)
+    csum = jnp.zeros((3, ng, gsz), jnp.float32)
+    sep_count = jnp.zeros((ng, gsz), jnp.int32)
+    nb_count = jnp.zeros((ng, gsz), jnp.int32)
+
+    for k in range(2 * wg + 1):
+        off = k * gsz
+        wp = jax.lax.dynamic_slice_in_dim(P, off, npad, 1).reshape(
+            3, ng, gsz)
+        wv = jax.lax.dynamic_slice_in_dim(V, off, npad, 1).reshape(
+            3, ng, gsz)
+        wc = jax.lax.dynamic_slice_in_dim(C, off, npad, 1).reshape(
+            3, ng, gsz)
+        d = gpos[:, :, :, None] - wp[:, :, None, :]  # (3, ng, gsz, gsz)
         dist_sq = jnp.sum(d * d, axis=0)
         is_nb = (dist_sq < perception_sq) & (dist_sq > 0.0001)
         if s_grpf is not None:
-            # Drop pairs the previous pass already captured (exact dedup:
-            # group ids are small ints, exact in f32).
-            seen = jnp.abs(gg[0][:, None] - wgp[0][None, :]) <= wg_f
+            # Drop pairs the previous pass already captured (exact
+            # dedup: group ids are small ints, exact in f32).
+            wgp = jax.lax.dynamic_slice_in_dim(G, off, npad, 1).reshape(
+                ng, gsz)
+            seen = jnp.abs(ggrp[:, :, None] - wgp[:, None, :]) <= wg_f
             is_nb = is_nb & ~seen
         is_sep = is_nb & (dist_sq < separation_sq)
 
         inv_dist = jax.lax.rsqrt(jnp.maximum(dist_sq, 1e-12))
         wsep = jnp.where(is_sep, inv_dist * inv_dist, 0.0)
-        sep = jnp.sum(wsep[None] * d, axis=2)
-        sep_count = jnp.sum(is_sep, axis=1)
+        sep = sep + jnp.sum(wsep[None] * d, axis=3)
+        sep_count = sep_count + jnp.sum(is_sep, axis=2)
 
         nbf = is_nb.astype(jnp.float32)[None]
-        align = jnp.sum(nbf * wv[:, None, :], axis=2)
-        coh = jnp.sum(nbf * wp[:, None, :], axis=2)
-        csum = jnp.sum(nbf * wc[:, None, :], axis=2)
-        nb_count = jnp.sum(is_nb, axis=1)
-        return sep, sep_count, align, coh, csum, nb_count
+        align = align + jnp.sum(nbf * wv[:, :, None, :], axis=3)
+        coh = coh + jnp.sum(nbf * wp[:, :, None, :], axis=3)
+        csum = csum + jnp.sum(nbf * wc[:, :, None, :], axis=3)
+        nb_count = nb_count + jnp.sum(is_nb, axis=2)
 
-    return jax.vmap(one_group)(gpos, gvel, gcol, ggrp, wpos, wvel, wcol,
-                               wgrp)
+    # Keep the historical (ng, 3, gsz) return contract.
+    mv = lambda a: jnp.moveaxis(a, 0, 1)  # noqa: E731
+    return (mv(sep), sep_count, mv(align), mv(coh), mv(csum), nb_count)
 
 
 def _window_pass(pos, vel, col, grp_prev, code, *, n, gsz, wg,

@@ -655,9 +655,63 @@ def test_resolve_config_extreme_scale_guards():
     assert fifty.traversal_emit == "ranges"
     assert fifty.max_depth == 8
     assert fifty.list_capacity == 2048
+    # >20.5M: a worst-case-safe pool outweighs the dense tensor (16
+    # rows/tile vs 7-10), and order-2 advance costs ~2.4 GB the
+    # theta=1.4-1.5 EXTREME ladder does not repay.
+    assert fifty.pool_tile == 0
+    assert fifty.advance_order == 1
+    assert ten.pool_tile == 512
 
     # Explicit user choices survive resolution.
     explicit = resolve_config(
         NBodyConfig(num_bodies=10_000_000, traversal_emit="values"),
         10_000_000)
     assert explicit.traversal_emit == "values"
+
+
+def test_pool_overflow_folds_groups_to_residual(rng, monkeypatch):
+    """A pool whose static tile cap cannot hold every group's tiles
+    folds whole groups into their mass-conserving residual (far_n=0,
+    one residual entry carrying the group's ENTIRE far mass) instead of
+    laying tiles out of bounds — the out-of-bounds tile DMA killed the
+    first 20M run on hardware."""
+    import spatialsim_tpu.ops.bh_window as bw
+    n = 4096
+    pos = jnp.asarray(rng.normal(size=(3, n)) * 120, jnp.float32)
+    vel = jnp.asarray(rng.normal(size=(3, n)), jnp.float32)
+    mass = jnp.asarray(rng.random(n) + 0.5, jnp.float32)
+    acc = jnp.asarray(rng.normal(size=(3, n)), jnp.float32)
+    kw = dict(theta=0.8, softening=2.0, skin=2.0, max_depth=6,
+              group_size=256, window_groups=2, list_cap=2048)
+    ref = build_lists(pos, vel, mass, acc, emit_mode="ranges",
+                      pool_tile=128, **kw)
+    monkeypatch.setattr(bw, "pool_cap_tiles",
+                        lambda *a, **k: 40)   # ng=16: forces folds
+    jax.clear_caches()  # same static signature as `ref` — force retrace
+    tiny = build_lists(pos, vel, mass, acc, emit_mode="ranges",
+                       pool_tile=128, **kw)
+    tile = 128
+    fn_ref = np.asarray(ref.far_n)
+    fn = np.asarray(tiny.far_n)
+    ps = np.asarray(tiny.pstart)
+    pool = np.asarray(tiny.pool)
+    ct = pool.shape[0]
+    # Folded groups keep exactly the residual entry (far_n counts it).
+    folded = (fn == 1) & (fn_ref > 100)
+    assert folded.any(), "cap 40 should force at least one fold"
+
+    def group_mass(pool_a, ps_a, fn_a, g):
+        t0 = ps_a[g]
+        t1 = (ps_a[g + 1] if g + 1 < len(ps_a)
+              else t0 + max(1, -(-fn_a[g] // tile)))
+        return pool_a[t0:t1, 6, :].sum()
+
+    # Every group's tiles stay in bounds, and the fold conserves the
+    # group's ENTIRE far mass (entries' mass row = 6).
+    ref_pool, ref_ps = np.asarray(ref.pool), np.asarray(ref.pstart)
+    for g in range(fn.shape[0]):
+        assert ps[g] < ct
+        mg = group_mass(pool, ps, fn, g)
+        mgr = group_mass(ref_pool, ref_ps, fn_ref, g)
+        assert abs(mg - mgr) <= 1e-2 + 1e-3 * abs(mgr), (
+            f"group {g}: far mass {mg} vs {mgr}")
