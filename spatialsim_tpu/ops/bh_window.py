@@ -231,15 +231,39 @@ def _comp_prefix(x):
          jnp.concatenate([z, lo], axis=1)], axis=0)
 
 
+# One packed endpoint gather materializes a (2P, M) f32 temp; at the
+# EXTREME flat widths (ng*L = 100M at 50M bodies) the pair of them is
+# ~12 GB and was the round-4 50M OOM.  Chunk flat inputs above this.
+_COMP_SEG_CHUNK = 1 << 22
+
+
 def _comp_seg(pref2, s, e):
     """Segment sums over compensated prefixes (see :func:`_comp_prefix`).
 
     ``s``/``e`` are int index arrays of any matching shape; returns
-    (P,) + s.shape segment sums.
+    (P,) + s.shape segment sums.  Flat inputs wider than
+    ``_COMP_SEG_CHUNK`` are processed in bounded chunks via
+    :func:`jax.lax.map` so the (2P, M) gather temps never exceed a few
+    hundred MB regardless of scale.
     """
     P = pref2.shape[0] // 2
-    d = pref2[:, e] - pref2[:, s]             # 2 packed gathers
-    return d[:P] + d[P:]
+    M = s.size
+    if s.ndim != 1 or M <= _COMP_SEG_CHUNK:
+        d = pref2[:, e] - pref2[:, s]         # 2 packed gathers
+        return d[:P] + d[P:]
+    CH = _COMP_SEG_CHUNK
+    nch = -(-M // CH)
+    pad = nch * CH - M
+    sp = jnp.pad(s, (0, pad))
+    ep = jnp.pad(e, (0, pad))
+
+    def body(args):
+        s_c, e_c = args
+        d = pref2[:, e_c] - pref2[:, s_c]
+        return d[:P] + d[P:]
+
+    out = jax.lax.map(body, (sp.reshape(nch, CH), ep.reshape(nch, CH)))
+    return out.transpose(1, 0, 2).reshape(P, nch * CH)[:, :M]
 
 
 # ---------------------------------------------------------------------------
@@ -926,17 +950,34 @@ def _finish_lists(far, far_range, far_n, sl_start, sl_end, sl_n, res,
 
     if far is None:
         L = list_cap
-        fs = far_range[:, 0, :].reshape(ng * L)
-        fe = far_range[:, 1, :].reshape(ng * L)
-        segf = _comp_seg(pref, fs, fe)               # (P, ngL) 2 gathers
-        fm = segf[0]
-        finv = jnp.where(fm > 0, 1.0 / jnp.maximum(fm, 1e-30), 0.0)
-        frows = [segf[1] * finv, segf[2] * finv, segf[3] * finv,
-                 segf[4] * finv, segf[5] * finv, segf[6] * finv, fm]
-        if with_acc:
-            frows += [segf[7] * finv, segf[8] * finv, segf[9] * finv]
-        frows += [jnp.zeros((ng * L,), jnp.float32)] * (n_rows - len(frows))
-        far = jnp.stack(frows).reshape(n_rows, ng, L).transpose(1, 0, 2)
+        # Materialize in group chunks: the flat (P, ng*L) segment sums,
+        # their stacked rows, AND the transposed dense tensor would
+        # otherwise coexist (~9 GB at the 50M shape — the round-4 50M
+        # OOM); per-chunk temps are bounded and only the (ng, R, L)
+        # output is ever whole.
+        CHG = max(1, _COMP_SEG_CHUNK // L)
+        ngp = -(-ng // CHG) * CHG
+        frp = (jnp.pad(far_range, ((0, ngp - ng), (0, 0), (0, 0)))
+               if ngp != ng else far_range)
+
+        def _chunk(fr_c):                            # (CHG, 2, L)
+            fs = fr_c[:, 0, :].reshape(CHG * L)
+            fe = fr_c[:, 1, :].reshape(CHG * L)
+            segf = _comp_seg(pref, fs, fe)           # (P, CHG*L)
+            fm = segf[0]
+            finv = jnp.where(fm > 0, 1.0 / jnp.maximum(fm, 1e-30), 0.0)
+            frows = [segf[1] * finv, segf[2] * finv, segf[3] * finv,
+                     segf[4] * finv, segf[5] * finv, segf[6] * finv, fm]
+            if with_acc:
+                frows += [segf[7] * finv, segf[8] * finv, segf[9] * finv]
+            frows += [jnp.zeros((CHG * L,), jnp.float32)] * (
+                n_rows - len(frows))
+            return jnp.stack(frows).reshape(
+                n_rows, CHG, L).transpose(1, 0, 2)   # (CHG, R, L)
+
+        far = jax.lax.map(
+            _chunk, frp.reshape(ngp // CHG, CHG, 2, L)).reshape(
+                ngp, n_rows, L)[:ng]
 
     seg = _comp_seg(pref, sl_start, sl_end)              # (P, ng, SC)
     svalid = (jnp.arange(SLIVER_CAP)[None, :] < sl_n[:, None])

@@ -504,6 +504,45 @@ def test_compensated_prefix_recovers_small_segments(rng):
     assert (np.abs(seg32 - want)[small] / np.abs(want)[small]).max() > 1e-4
 
 
+def test_comp_seg_chunked_matches_unchunked(rng, monkeypatch):
+    """The chunked wide-input path of _comp_seg (taken above
+    _COMP_SEG_CHUNK flat indices — the 50M OOM fix) is bit-identical
+    to the one-shot gather."""
+    import spatialsim_tpu.ops.bh_window as bw
+    n = 5000
+    x = (rng.random((3, n)) * 10.0 - 5.0).astype(np.float32)
+    pref = bw._comp_prefix(jnp.asarray(x))
+    m = 1537                      # not a multiple of the forced chunk
+    s = jnp.asarray(rng.integers(0, n, size=m), jnp.int32)
+    e = jnp.minimum(s + jnp.asarray(rng.integers(0, 50, size=m),
+                                    jnp.int32), n)
+    want = np.asarray(bw._comp_seg(pref, s, e))
+    monkeypatch.setattr(bw, "_COMP_SEG_CHUNK", 256)
+    got = np.asarray(bw._comp_seg(pref, s, e))
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+
+
+def test_finish_lists_group_chunked_matches(rng, monkeypatch):
+    """Dense-far materialization from ranges in bounded group chunks
+    (the EXTREME-scale HBM path) reproduces the unchunked lists."""
+    import spatialsim_tpu.ops.bh_window as bw
+    n = 8192
+    pos = jnp.asarray(rng.normal(size=(3, n)) * 100 + 250, jnp.float32)
+    vel = jnp.asarray(rng.normal(size=(3, n)), jnp.float32)
+    mass = jnp.asarray(rng.random(n) + 0.5, jnp.float32)
+    acc = jnp.asarray(rng.normal(size=(3, n)), jnp.float32)
+    kw = dict(theta=0.7, softening=2.0, group_size=256, window_groups=1,
+              max_depth=5, list_cap=256, emit_mode="ranges")
+    ref = build_lists(pos, vel, mass, acc, **kw)
+    monkeypatch.setattr(bw, "_COMP_SEG_CHUNK", 512)   # CHG=2 groups
+    chk = build_lists(pos, vel, mass, acc, **kw)
+    np.testing.assert_array_equal(np.asarray(chk.far_n),
+                                  np.asarray(ref.far_n))
+    np.testing.assert_allclose(np.asarray(chk.far), np.asarray(ref.far),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_ranges_emission_matches_value_emission(rng):
     """emit_mode="ranges" builds the same lists as "values": identical
     entry set (ranges/counts bit-equal), moments f32-close."""
