@@ -79,6 +79,13 @@ def bench_nbody(n, theta, steps, warmup, chain, distribution, engine,
     pos = jnp.asarray(pos.T, jnp.float32)
     vel = jnp.asarray(vel.T, jnp.float32)
     mass = jnp.asarray(mass, jnp.float32)
+    if engine == "window":
+        # Demand-calibrate the worklist caps on the real initial
+        # conditions (no-op for the galaxy profile; grows the shallow
+        # caps on dense isotropic distributions — the 10M cluster's
+        # rms-0.86 error tail was clamp-folding, scripts/decide20.py).
+        from spatialsim_tpu.ops.bh_window import calibrate_config
+        cfg = calibrate_config(cfg, pos, vel, mass)
     # Sustained throughput: `chain` steps per dispatch (lax.scan), as the
     # recorder does per frame — measures true device step rate including
     # periodic list rebuilds, not the ~30 ms tunnel dispatch latency.

@@ -68,13 +68,18 @@ def main():
           f"|F| median={np.median(mag):.4g} p10={np.percentile(mag, 10):.4g}",
           flush=True)
 
+    from spatialsim_tpu.ops.bh_window import calibrate_config
+    t0 = time.perf_counter()
+    cal = calibrate_config(base, pos, vel, mass)
+    print(f"calibrate: {time.perf_counter() - t0:.0f} s "
+          f"wl_caps={list(cal.wl_caps) or 'default'}", flush=True)
     variants = [
-        ("prod_L8k", {}),
-        ("L16k", {"list_capacity": 16384}),
-        ("L16k_ng8", {"list_capacity": 16384, "near_groups": 8}),
+        ("prod_uncal", None),
+        ("calibrated", {}),
+        ("cal_L16k", {"list_capacity": 16384}),
     ]
     for tag, over in variants:
-        cfg = base.replace(**over)
+        cfg = base if over is None else cal.replace(**over)
         kw = _build_kw(cfg)
         t0 = time.perf_counter()
         lists = build_lists(pos, vel, mass, **kw)

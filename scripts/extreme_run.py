@@ -71,7 +71,16 @@ def main():
     print(f"init conditions: {time.perf_counter() - t0:.0f} s", flush=True)
 
     t0 = time.perf_counter()
-    state = init_window_state(pos, vel, mass, cfg)
+    from spatialsim_tpu.ops.bh_window import calibrate_config
+    t0 = time.perf_counter()
+    cfg = calibrate_config(cfg, pos, vel, mass)
+    print(f"calibrate: {time.perf_counter() - t0:.0f} s "
+          f"wl_caps={list(cfg.wl_caps) or 'default'}", flush=True)
+    t0 = time.perf_counter()
+    # Donate: at 50M the pinned non-donated args (~2 GB) are the margin
+    # between the first build fitting and runtime ResourceExhausted.
+    state = init_window_state(pos, vel, mass, cfg, donate=True)
+    del pos, vel, mass
     jax.block_until_ready(state.pos)
     print(f"first build: {time.perf_counter() - t0:.0f} s | {hbm_stats()}",
           flush=True)
@@ -90,9 +99,15 @@ def main():
 
     # Oracle sample BEFORE stepping (fresh lists): force error on 1024
     # random bodies vs direct sum over all n.
+    # All oracle work runs on the SORTED state (the originals were
+    # donated to the first build): original sample ids map to sorted
+    # slots through inv_order; pad slots are zero-mass so the direct
+    # sum over the sorted arrays is identical.
     rng = np.random.default_rng(1)
-    idx = jnp.asarray(np.sort(rng.choice(n, 1024, replace=False)))
-    tgt = pos[:, idx]
+    idx = np.sort(rng.choice(n, 1024, replace=False))
+    slots = jnp.asarray(np.asarray(state.lists.inv_order)[idx])
+    sp, sm = state.pos, state.mass
+    tgt = sp[:, slots]
 
     @jax.jit
     def exact_at(tgt, pos, mass):
@@ -109,14 +124,14 @@ def main():
             return jnp.sum(w * d, axis=1)
         return jax.lax.map(one, tgt.T).T
 
-    from spatialsim_tpu.ops.bh_window import eval_accel
-    acc_bh = eval_accel(
-        state.lists, pos, mass, jnp.float32(0.0), G=cfg.G,
+    from spatialsim_tpu.ops.bh_window import eval_accel_sorted
+    acc_bh = eval_accel_sorted(
+        state.lists, sp, sm, jnp.float32(0.0), G=cfg.G,
         softening=cfg.softening, group_size=cfg.group_size,
         window_groups=cfg.window_groups,
         quadrupole=cfg.use_quadrupole)
-    a = np.asarray(acc_bh[:, idx], np.float64)
-    e = np.asarray(exact_at(tgt, pos, mass), np.float64)
+    a = np.asarray(acc_bh[:, slots], np.float64)
+    e = np.asarray(exact_at(tgt, sp, sm), np.float64)
     mag = np.linalg.norm(e, axis=0)
     err = np.linalg.norm(a - e, axis=0) / np.maximum(mag, 1e-12)
     print(f"force error (fresh lists, 1024 samples): "

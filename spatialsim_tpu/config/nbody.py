@@ -139,6 +139,16 @@ class NBodyConfig:
     # 0 = auto: max(256K, 4.2*npad), capped at 6M up to 4.2M bodies,
     # 10M up to 20M, 40M beyond (ops/bh_window._auto_budget).
     worklist_budget: int = 0
+    # Explicit per-level worklist capacities (overrides the budget-derived
+    # defaults).  The default per-level fractions were measured on the 1M
+    # GALAXY profile; isotropic dense distributions (Plummer cluster)
+    # demand 2-6x more at the SHALLOW levels, and a clamped shallow level
+    # force-emits whole octants as monopoles — measured 10% MEDIAN force
+    # error at 100K cluster with every deeper knob (depth, list cap)
+    # powerless against it (scripts/decide20.py, round 4).  Set by
+    # ops.bh_window.calibrate_config from a demand probe on the actual
+    # initial conditions; () = budget-derived defaults.
+    wl_caps: tuple = ()
     # Far-list tile-pool compaction (ops/bh_window.build_pool): tile
     # size in entries, 0 = dense (ng, R, L) layout.  The pool stores
     # only ~ceil(far_n/tile) tiles per group — ~4-5x less far HBM and

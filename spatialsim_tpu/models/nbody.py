@@ -144,7 +144,14 @@ class NBodySimulation:
         self.config = resolve_config(self.config, self.num_bodies)
         self.engine = resolve_engine(self.config, self.num_bodies)
         if self.engine == "window":
-            from spatialsim_tpu.ops.bh_window import init_window_state
+            from spatialsim_tpu.ops.bh_window import (calibrate_config,
+                                                      init_window_state)
+            # Demand-calibrate the worklist caps on the real initial
+            # conditions: the default per-level caps follow the galaxy
+            # demand profile, and a clamped level silently costs ~10%
+            # median force error on dense isotropic distributions
+            # (scripts/decide20.py).  No-op when the defaults fit.
+            self.config = calibrate_config(self.config, pos, vel, mass)
             self.state = init_window_state(pos, vel, mass, self.config)
         else:
             self.state = NBodyState(pos=pos, vel=vel, mass=mass)

@@ -316,7 +316,7 @@ def _pack_levels(tree, quadrupole, with_acc):
 def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
                      gsz, intervals, list_cap, n_levels, wl_caps,
                      quadrupole=False, with_acc=False, with_ranges=True,
-                     emit_values=True):
+                     emit_values=True, ablate=()):
     """Global-worklist traversal: all (group, cell) pairs of one level in
     one flat, group-major list.
 
@@ -352,6 +352,13 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
     Quadrupole layouts must emit values: the central second moment
     recovered from global-coordinate prefix sums (S₂ − M·com·comᵀ)
     cancels ~5 digits at world-scale offsets.
+
+    ``ablate`` (measurement only — scripts/decide21.py): a set of phase
+    names to REPLACE with cost-free stand-ins while keeping every array
+    at its static capacity, so chained-marginal A/B isolates each
+    phase's cost (the traversal is cap-proportional, so timings stay
+    valid even though ablated results are numerically wrong).  Phases:
+    "gather_cell", "gather_group", "emit", "sliver", "expand".
 
     Returns (far_vals (ng, R, L) | None, far_range, far_n, sl_start,
     sl_end, sl_n, res, wl_sizes).
@@ -410,6 +417,7 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
         wl_c = jnp.pad(wl_c, (0, W0 - pad_to), constant_values=-1)
 
     wl_sizes = [wl_n]
+    wl_demand = [wl_n]
     for li in range(n_levels):
         lv = levels[li]
         level = tree.start_level + li
@@ -439,8 +447,13 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
 
         # TWO packed gathers for every per-cell attribute (floats + ints
         # — see _pack_levels).
-        A = pgather(packed_levels[li][0], cidx)    # (n_cols, W) f32
-        ci = pgather(packed_levels[li][1], cidx)   # (4, W) int32
+        if "gather_cell" in ablate:
+            A = jnp.broadcast_to(packed_levels[li][0][:, :1],
+                                 (packed_levels[li][0].shape[0], W))
+            ci = jnp.broadcast_to(packed_levels[li][1][:, :1], (4, W))
+        else:
+            A = pgather(packed_levels[li][0], cidx)   # (n_cols, W) f32
+            ci = pgather(packed_levels[li][1], cidx)  # (4, W) int32
         ccom = A[0:3]
         cvel = A[3:6]
         cmass = jnp.where(active, A[6], 0.0)
@@ -455,10 +468,14 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
                 + tuple(A[i] for i in range(7, n_cols))
                 if emit_values else None)
 
-        B = pgather(bounds, gidx)                  # (6, W)
+        if "gather_group" in ablate:
+            B = jnp.broadcast_to(bounds[:, :1], (6, W))
+            iv = jnp.broadcast_to(iv_pack[:, :1], (2 * M, W))
+        else:
+            B = pgather(bounds, gidx)              # (6, W)
+            iv = pgather(iv_pack, gidx)            # (2M, W) int32
         gmin = B[0:3]
         gmax = B[3:6]
-        iv = pgather(iv_pack, gidx)                # (2M, W) int32
 
         # Covered-union tests in GLOBAL body indices.  Containment within
         # the union implies containment within a single interval (merged
@@ -588,17 +605,40 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
             W_next = wl_caps[li + 1]
             cc0 = jnp.where(open_, ci[3], 0)
             base0 = jnp.cumsum(cc0) - cc0
+            # Pre-clamp demand: what the next level WANTED.  demand >
+            # cap means children were folded into coarse monopole
+            # emissions at THIS level (and deeper demand is undercounted
+            # — recalibrate iteratively, see calibrate_config).
+            wl_demand.append(base0[-1] + cc0[-1])
             # Worklist overflow: whole entries degrade (values/slivers).
             ovf = open_ & (base0 + cc0 > W_next)
             emit_val = emit_val | (ovf & outside)
             emit_sl = emit_sl | (ovf & straddle)
 
-        far_cols, fr_s, fr_e, far_n, res_cols = scatter_emit(
-            emit_val, far_cols, fr_s, fr_e, far_n, res_cols)
-        sl_start, sl_end, sl_n = scatter_sliver(
-            emit_sl, cstart, cend, (sl_start, sl_end, sl_n))
+        if "emit" in ablate:
+            # Keep the acceptance mask alive without the rank cumsum /
+            # column scatters / segment_sum.
+            far_n = far_n + jnp.sum(emit_val.astype(jnp.int32))
+        else:
+            far_cols, fr_s, fr_e, far_n, res_cols = scatter_emit(
+                emit_val, far_cols, fr_s, fr_e, far_n, res_cols)
+        if "sliver" in ablate:
+            sl_n = sl_n + jnp.sum(emit_sl.astype(jnp.int32))
+        else:
+            sl_start, sl_end, sl_n = scatter_sliver(
+                emit_sl, cstart, cend, (sl_start, sl_end, sl_n))
 
-        if not last:
+        if not last and "expand" in ablate:
+            # Cost-free synthetic next worklist at full capacity (keeps
+            # a data dependence on the open set; wl_g stays sorted).
+            slot = jnp.arange(W_next, dtype=jnp.int32)
+            nc_next = levels[li + 1].code.shape[0]
+            dep = jnp.minimum(jnp.sum(jnp.where(open_, cc0, 0)), 0)
+            wl_c = (slot + dep) % nc_next
+            wl_g = (slot * ng) // W_next
+            wl_n = jnp.int32(W_next)
+            wl_sizes.append(wl_n)
+        elif not last:
             # Child expansion by RUN RECONSTRUCTION instead of per-child
             # scatter: children of an open cell are contiguous
             # (child_start .. +cc), so scatter one run descriptor per
@@ -649,9 +689,11 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
                            axis=1)                            # (ng, 2, L)
                  if with_ranges else None)
     res = jnp.stack(res_cols, axis=1)                         # (ng, 7|10)
+    # Stacked [fills (n_levels) | pre-clamp demands (n_levels)]: a
+    # demand > the level's static cap means coarse folding occurred.
     return (far, far_range, far_n, sl_start.reshape(ng, SLIVER_CAP),
             sl_end.reshape(ng, SLIVER_CAP), sl_n, res,
-            jnp.stack(wl_sizes))
+            jnp.stack(wl_sizes + wl_demand))
 
 
 def _auto_budget(npad: int) -> int:
@@ -705,12 +747,12 @@ def _default_wl_caps(ng: int, n_levels: int, budget: int, c0: int = 64):
     static_argnames=("theta", "softening", "skin", "max_depth", "group_size",
                      "window_groups", "list_cap", "worklist_budget",
                      "n_groups", "quadrupole", "near_groups",
-                     "with_ranges", "pool_tile", "emit_mode"))
+                     "with_ranges", "pool_tile", "emit_mode", "wl_caps"))
 def build_lists(pos, vel, mass, acc=None, *, theta, softening, skin=4.0,
                 max_depth=10, group_size=256, window_groups=3, list_cap=2048,
                 worklist_budget=0, group_offset=0, n_groups=None,
                 quadrupole=False, near_groups=0, with_ranges=True,
-                pool_tile=0, emit_mode="auto"):
+                pool_tile=0, emit_mode="auto", wl_caps=()):
     """Morton-sort + octree + global-worklist traversal -> :class:`BHLists`.
 
     The traversal visits all (group, cell) pairs of one octree level in a
@@ -751,7 +793,7 @@ def build_lists(pos, vel, mass, acc=None, *, theta, softening, skin=4.0,
         worklist_budget=worklist_budget, group_offset=group_offset,
         n_groups=n_groups, quadrupole=quadrupole,
         near_groups=near_groups, with_ranges=with_ranges,
-        pool_tile=pool_tile, emit_mode=emit_mode)
+        pool_tile=pool_tile, emit_mode=emit_mode, wl_caps=wl_caps)
 
 
 @functools.partial(
@@ -760,13 +802,13 @@ def build_lists(pos, vel, mass, acc=None, *, theta, softening, skin=4.0,
                      "group_size", "window_groups", "list_cap",
                      "worklist_budget", "n_groups", "quadrupole",
                      "near_groups", "with_ranges", "pool_tile",
-                     "emit_mode"))
+                     "emit_mode", "wl_caps"))
 def build_lists_sorted(s_pos, s_vel, s_mass, s_acc=None, *, order, theta,
                        softening, skin=4.0, max_depth=10, group_size=256,
                        window_groups=3, list_cap=2048, worklist_budget=0,
                        group_offset=0, n_groups=None, quadrupole=False,
                        near_groups=0, with_ranges=True, pool_tile=0,
-                       emit_mode="auto"):
+                       emit_mode="auto", wl_caps=()):
     """:func:`build_lists` for ALREADY globally Morton-sorted state.
 
     Entry point for the distributed rebuild
@@ -789,7 +831,7 @@ def build_lists_sorted(s_pos, s_vel, s_mass, s_acc=None, *, order, theta,
         worklist_budget=worklist_budget, group_offset=group_offset,
         n_groups=n_groups, quadrupole=quadrupole,
         near_groups=near_groups, with_ranges=with_ranges,
-        pool_tile=pool_tile, emit_mode=emit_mode)
+        pool_tile=pool_tile, emit_mode=emit_mode, wl_caps=wl_caps)
 
 
 def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
@@ -797,7 +839,7 @@ def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
                        max_depth, group_size, window_groups, list_cap,
                        worklist_budget, group_offset, n_groups,
                        quadrupole, near_groups, with_ranges, pool_tile,
-                       emit_mode="auto"):
+                       emit_mode="auto", wl_caps=()):
     gsz = group_size
     npad = s_pos.shape[1]
     acc = s_acc
@@ -828,8 +870,16 @@ def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
     intervals = _covered_intervals(near, window_groups, group_offset, gsz)
 
     budget = worklist_budget or _auto_budget(npad)
-    wl_caps = _default_wl_caps(ng, n_levels, budget,
-                               c0=tree.levels[0].code.shape[0])
+    c0 = tree.levels[0].code.shape[0]
+    explicit_caps = bool(wl_caps)
+    if wl_caps:
+        assert len(wl_caps) == n_levels, (
+            f"wl_caps has {len(wl_caps)} levels, build has {n_levels} "
+            f"(depth change invalidates calibrated caps)")
+        wl_caps = tuple(max(int(c), ng * (c0 if li == 0 else 8))
+                        for li, c in enumerate(wl_caps))
+    else:
+        wl_caps = _default_wl_caps(ng, n_levels, budget, c0=c0)
     # Ranges-only emission: 2 int32 scatter columns per level instead of
     # 9-12, moments re-materialized from prefix sums at finish.  "auto"
     # enables it exactly where it pays structurally — the pooled path,
@@ -900,7 +950,8 @@ def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
                 quadrupole=quadrupole, with_acc=acc is not None,
                 with_ranges=with_ranges, emit_values=not emit_ranges)
     if pool_tile and emit_ranges:
-        cap = pool_cap_tiles(budget, ng, pool_tile, npad)
+        cap = pool_cap_tiles(budget, ng, pool_tile, npad,
+                             caps_total=sum(wl_caps) if explicit_caps else 0)
         return _finish_pool_ranges(
             far_range, far_n, sl_start, sl_end, sl_n, res,
             s_pos, s_vel, s_mass, order, order_pad, pos, n, list_cap,
@@ -911,7 +962,8 @@ def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
                           s_acc=s_acc, near=near)
     if pool_tile:
         assert not quadrupole, "pool layout is monopole-only"
-        cap = pool_cap_tiles(budget, ng, pool_tile, npad)
+        cap = pool_cap_tiles(budget, ng, pool_tile, npad,
+                             caps_total=sum(wl_caps) if explicit_caps else 0)
         pool, pstart, far_n2 = build_pool(lists.far, lists.far_range,
                                           lists.far_n, tile=pool_tile,
                                           cap_tiles=cap)
@@ -1068,7 +1120,8 @@ def _finish_lists(far, far_range, far_n, sl_start, sl_end, sl_n, res,
 POOL_ROWS = 16
 
 
-def pool_cap_tiles(budget: int, ng: int, tile: int, npad: int = 0) -> int:
+def pool_cap_tiles(budget: int, ng: int, tile: int, npad: int = 0,
+                   caps_total: int = 0) -> int:
     """Static tile capacity sized to measured emission totals.
 
     Round 3 claimed emissions <= the worklist budget ("one per visited
@@ -1081,7 +1134,16 @@ def pool_cap_tiles(budget: int, ng: int, tile: int, npad: int = 0) -> int:
     GRACEFULLY (whole-group fold into the mass-conserving residual,
     :func:`_finish_pool_ranges`) instead of the out-of-bounds pool DMA
     that killed the first 20M run.
+
+    ``caps_total`` (the explicit per-level cap sum, when calibrated
+    caps are in use) is the EXACT emission bound — every worklist slot
+    emits at most one entry — and replaces the budget heuristic.
+    Without it, a calibrated build's extra emissions silently folded
+    whole core groups into residual monopoles (rms 1091 on the 100K
+    cluster, round 4).
     """
+    if caps_total:
+        return int(caps_total + ng * (SLIVER_CAP + 1)) // tile + ng + 1
     factor = 1 if (npad or 0) <= 4_200_000 else 2.5
     return int(factor * budget + ng * (SLIVER_CAP + 1)) // tile + ng + 1
 
@@ -1760,6 +1822,7 @@ def _build_kw(config):
                 window_groups=config.window_groups,
                 list_cap=config.list_capacity,
                 worklist_budget=getattr(config, "worklist_budget", 0),
+                wl_caps=tuple(getattr(config, "wl_caps", ()) or ()),
                 quadrupole=quad,
                 near_groups=getattr(config, "near_groups", 0),
                 # The pool serves the default production path only: the
@@ -1975,17 +2038,45 @@ def _resort_state(pos, vel, mass, prev_order, prev_inv, kw, acc=None):
     return pos2, vel2, mass2, nl
 
 
-def init_window_state(pos, vel, mass, config) -> WindowBHState:
+def init_window_state(pos, vel, mass, config, donate=False) -> WindowBHState:
     """Build lists from ORIGINAL-order inputs and return the sorted state.
 
     With ``advance_order >= 2`` the first build uses zero accelerations
     (first interval falls back to the ballistic advance); subsequent
     rebuilds use the previous step's accelerations carried in the state.
+
+    ``donate=True`` donates ``pos``/``vel``/``mass`` to the first build
+    — at EXTREME scale non-donated jit arguments stay pinned in HBM for
+    the whole build execution (~2 GB at 50M), and the 50M first build is
+    within ~1 GB of the chip's capacity (extreme_50m_v3.log).  The
+    caller's arrays are invalidated; only use it when they are
+    temporaries (scripts/extreme_run.py).  Donation is a no-op on CPU.
     """
     from spatialsim_tpu.config.nbody import resolve_config
     config = resolve_config(config, pos.shape[1])
     n = pos.shape[1]
     advance2 = getattr(config, "advance_order", 2) >= 2
+
+    if donate:
+        kw = _build_kw(config)
+
+        def _init(pos, vel, mass):
+            acc0 = jnp.zeros_like(pos) if advance2 else None
+            lists = build_lists(pos, vel, mass, acc0, **kw)
+            o_real = lists.order[:n]
+            pos_s = pos[:, o_real]
+            return (pos_s, vel[:, o_real], mass[o_real],
+                    lists._replace(ref_pos=pos_s))
+
+        pos_s, vel_s, mass_s, lists = jax.jit(
+            _init, donate_argnums=(0, 1, 2))(pos, vel, mass)
+        # ref_pos must be a distinct buffer (the step donates the whole
+        # state pytree; donating one buffer twice is a runtime error) —
+        # copy outside the jit so XLA cannot alias it back to pos_s.
+        lists = lists._replace(ref_pos=jnp.copy(pos_s))
+        return WindowBHState(pos_s, vel_s, mass_s, lists,
+                             jnp.zeros_like(pos_s) if advance2 else None)
+
     acc0 = jnp.zeros_like(pos) if advance2 else None
     lists = build_lists(pos, vel, mass, acc0, **_build_kw(config))
     o_real = lists.order[:n]
@@ -2021,8 +2112,11 @@ def build_diagnostics(pos, vel, mass, config):
     n_levels = max_depth - 2 + 1
     ng = npad // gsz
     budget = kw["worklist_budget"] or _auto_budget(npad)
-    wl_caps = _default_wl_caps(ng, n_levels, budget,
-                               c0=level_capacity(2, npad))
+    if kw.get("wl_caps"):
+        wl_caps = tuple(kw["wl_caps"])
+    else:
+        wl_caps = _default_wl_caps(ng, n_levels, budget,
+                                   c0=level_capacity(2, npad))
 
     @jax.jit
     def run(pos, vel, mass):
@@ -2060,10 +2154,12 @@ def build_diagnostics(pos, vel, mass, config):
 
     far_n, res, wl, n_cells, mass_sum = run(pos, vel, mass)
     far_n = np.asarray(far_n)
+    wl = np.asarray(wl)
     return {
         "n_levels": n_levels,
         "wl_caps": list(wl_caps),
-        "wl_sizes": np.asarray(wl).tolist(),
+        "wl_sizes": wl[:n_levels].tolist(),
+        "wl_demand": wl[n_levels:].tolist(),
         "far_n_mean": float(far_n.mean()),
         "far_n_max": int(far_n.max()),
         "far_n_p99": float(np.percentile(far_n, 99)),
@@ -2074,6 +2170,105 @@ def build_diagnostics(pos, vel, mass, config):
                                     / max(float(mass_sum), 1e-30)),
         "cells_per_level": np.asarray(n_cells).tolist(),
     }
+
+
+def calibrate_config(config, pos, vel, mass, rounds=3, headroom=1.5):
+    """Demand-calibrate per-level worklist caps on real initial conditions.
+
+    The default caps follow the measured 1M GALAXY demand profile
+    (:func:`_default_wl_caps`); isotropic dense distributions (Plummer
+    cluster) demand 2-6x more at the SHALLOW levels, and a clamped level
+    force-emits whole subtrees as coarse monopoles — measured 10% MEDIAN
+    relative force error on the 100K cluster, invariant to max_depth and
+    list capacity (scripts/decide20.py, round 4; this was the 10M
+    rms-0.86 tail).  Replaces the reference's unbounded per-node
+    recursion (reference nbody/simulation.py builds lists dynamically).
+
+    Runs an emission-free traversal probe (``ablate=("emit",
+    "sliver")``), grows every level whose pre-clamp demand exceeds its
+    cap (iterating up to ``rounds``: folding undercounts deeper demand),
+    and returns ``config.replace(wl_caps=..., worklist_budget=...)``.
+    Growth is bounded by exact limits — level ``li`` cannot demand more
+    than ``ng * cells(level)`` or 8x the previous cap — and a 48M hard
+    per-level ceiling.  Caps never shrink below the defaults.  No-op
+    (returns ``config`` unchanged) when the defaults already fit.
+    """
+    import numpy as np
+    from spatialsim_tpu.config.nbody import resolve_config
+    from spatialsim_tpu.ops.octree import level_capacity
+    config = resolve_config(config, pos.shape[1])
+    if getattr(config, "wl_caps", ()):
+        return config
+    kw = _build_kw(config)
+    n = pos.shape[1]
+    gsz = kw["group_size"]
+    max_depth = kw["max_depth"]
+    npad = ((n + gsz - 1) // gsz) * gsz
+    pad = npad - n
+    n_levels = max_depth - 2 + 1
+    ng = npad // gsz
+    budget = kw["worklist_budget"] or _auto_budget(npad)
+    defaults = _default_wl_caps(ng, n_levels, budget,
+                                c0=level_capacity(2, npad))
+
+    def probe(wl_caps):
+        @functools.partial(jax.jit, static_argnames=("caps",))
+        def run(pos, vel, mass, caps):
+            half = compute_bounds(pos)
+            codes = morton_encode(pos, half, max_depth)
+            order = jnp.argsort(codes).astype(jnp.int32)
+            order_pad = jnp.concatenate(
+                [order, jnp.broadcast_to(order[-1], (pad,))])
+            s_codes = jnp.concatenate(
+                [codes[order], jnp.broadcast_to(codes[order[-1]], (pad,))])
+            s_pos = pos[:, order_pad]
+            pad_mask = jnp.arange(npad) >= n
+            s_mass = jnp.where(pad_mask, 0.0, mass[order_pad])
+            tree = build_octree(s_codes, s_pos, s_mass, half,
+                                max_depth=max_depth, start_level=2,
+                                n=npad)
+            gpos = s_pos.reshape(3, ng, gsz)
+            bbox_min = jnp.min(gpos, axis=2).T
+            bbox_max = jnp.max(gpos, axis=2).T
+            near = jnp.zeros((ng, 0), jnp.int32)
+            intervals = _covered_intervals(near, kw["window_groups"],
+                                           0, gsz)
+            out = _traverse_global(
+                tree, bbox_min, bbox_max, ng, theta=float(kw["theta"]),
+                soft_sq=float(kw["softening"]) ** 2,
+                skin=float(kw["skin"]), gsz=gsz, intervals=intervals,
+                list_cap=kw["list_cap"], n_levels=n_levels,
+                wl_caps=caps, quadrupole=False, with_acc=False,
+                with_ranges=True, emit_values=False,
+                ablate=("emit", "sliver"))
+            return out[7]
+        return np.asarray(run(pos, vel, mass, tuple(wl_caps)))
+
+    HARD_CEIL = 48_000_000
+    caps = list(defaults)
+    grown = False
+    for _ in range(max(1, rounds)):
+        wl = probe(caps)
+        demand = wl[n_levels:]
+        clamped = [int(demand[li]) > caps[li] for li in range(n_levels)]
+        if not any(clamped):
+            break
+        grown = True
+        new = []
+        for li in range(n_levels):
+            exact = ng * level_capacity(li + 2, npad)
+            if li > 0:
+                exact = min(exact, 8 * new[li - 1])
+            tgt = max(caps[li], int(int(demand[li]) * headroom))
+            tgt = -(-tgt // 1024) * 1024
+            new.append(int(min(max(tgt, ng * 8), exact, HARD_CEIL)))
+        new[0] = max(new[0], ng * level_capacity(2, npad))
+        caps = new
+    if not grown:
+        return config
+    # Pool sizing switches to the exact caps_total bound when explicit
+    # caps are set (pool_cap_tiles) — the budget itself stays untouched.
+    return config.replace(wl_caps=tuple(caps))
 
 
 def window_bh_accel(pos, vel, mass, config, dt=0.0, use_pallas=None):

@@ -543,6 +543,63 @@ def test_finish_lists_group_chunked_matches(rng, monkeypatch):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_calibration_fixes_cluster_shallow_clamp(rng):
+    """Dense isotropic distributions overflow the galaxy-profiled
+    shallow worklist caps, force-emitting whole octants as monopoles
+    (measured 10% MEDIAN force error at 100K, scripts/decide20.py);
+    calibrate_config must detect the clamp from the demand probe, grow
+    the caps, and collapse the error."""
+    from spatialsim_tpu.config.nbody import NBodyConfig, resolve_config
+    from spatialsim_tpu import distributions
+    from spatialsim_tpu.ops.bh_window import (build_lists, eval_accel,
+                                              _build_kw, calibrate_config,
+                                              build_diagnostics)
+    n = 32_768
+    base = resolve_config(NBodyConfig(
+        num_bodies=n, theta=0.8, G=0.08, softening=3.0, damping=1.0,
+        spawn_radius=700.0, distribution="cluster", engine="window"), n)
+    p, v, m = distributions.generate_distribution(
+        "cluster", n, base.spawn_radius, base.G, seed=0)
+    pos = jnp.asarray(p.T, jnp.float32)
+    vel = jnp.asarray(v.T, jnp.float32)
+    mass = jnp.asarray(m, jnp.float32)
+
+    cal = calibrate_config(base, pos, vel, mass)
+    assert cal.wl_caps, "expected the cluster to clamp the default caps"
+    d = build_diagnostics(pos, vel, mass, cal)
+    assert "wl_demand" in d
+    for dem, cap in zip(d["wl_demand"], d["wl_caps"]):
+        assert dem <= cap, (d["wl_demand"], d["wl_caps"])
+
+    idx = np.sort(np.random.default_rng(1).choice(n, 512, replace=False))
+    soft_sq = base.softening ** 2
+
+    @jax.jit
+    def exact_at(tgt, pos, mass):
+        def one(t):
+            dd = pos - t[:, None]
+            dist_sq = jnp.sum(dd * dd, axis=0) + soft_sq
+            inv = jax.lax.rsqrt(dist_sq)
+            w = jnp.where(dist_sq > soft_sq,
+                          (base.G * mass) * inv * inv * inv, 0.0)
+            return jnp.sum(w * dd, axis=1)
+        return jax.lax.map(one, tgt.T).T
+
+    e = np.asarray(exact_at(pos[:, idx], pos, mass), np.float64)
+    mag = np.maximum(np.linalg.norm(e, axis=0), 1e-12)
+    meds = {}
+    for tag, cfg in [("default", base), ("cal", cal)]:
+        lists = build_lists(pos, vel, mass, **_build_kw(cfg))
+        acc = eval_accel(lists, pos, mass, jnp.float32(0.0), G=cfg.G,
+                         softening=cfg.softening,
+                         group_size=cfg.group_size,
+                         window_groups=cfg.window_groups)
+        a = np.asarray(acc[:, idx], np.float64)
+        meds[tag] = np.median(np.linalg.norm(a - e, axis=0) / mag)
+    assert meds["cal"] < 0.02, meds
+    assert meds["cal"] < meds["default"] / 3, meds
+
+
 def test_ranges_emission_matches_value_emission(rng):
     """emit_mode="ranges" builds the same lists as "values": identical
     entry set (ranges/counts bit-equal), moments f32-close."""
