@@ -79,6 +79,7 @@ def main():
         ("cal_L16k", {"list_capacity": 16384}),
     ]
     for tag, over in variants:
+      try:
         cfg = base if over is None else cal.replace(**over)
         kw = _build_kw(cfg)
         t0 = time.perf_counter()
@@ -149,6 +150,9 @@ def main():
         print(f"  lowF     rel {q(err[lowF])} | "
               f"highF rel {q(err[~lowF])}", flush=True)
         del lists, a
+      except Exception as ex:  # noqa: BLE001 — one variant's OOM must not kill the rest
+        print(f"[{tag}] FAILED {type(ex).__name__}: {str(ex)[:300]}",
+              flush=True)
     print("done", flush=True)
 
 

@@ -14,6 +14,7 @@ Defaults mirror the reference's EXTREME ladder: theta 1.2 at 10M,
 1.4 at 20M, 1.5 at 50M (tools/presets.py:2352-2584).
 """
 
+import os
 import sys
 import time
 
@@ -70,12 +71,12 @@ def main():
     del p, v, m
     print(f"init conditions: {time.perf_counter() - t0:.0f} s", flush=True)
 
-    t0 = time.perf_counter()
-    from spatialsim_tpu.ops.bh_window import calibrate_config
-    t0 = time.perf_counter()
-    cfg = calibrate_config(cfg, pos, vel, mass)
-    print(f"calibrate: {time.perf_counter() - t0:.0f} s "
-          f"wl_caps={list(cfg.wl_caps) or 'default'}", flush=True)
+    if os.environ.get("EXTREME_SKIP_CALIBRATE") != "1":
+        from spatialsim_tpu.ops.bh_window import calibrate_config
+        t0 = time.perf_counter()
+        cfg = calibrate_config(cfg, pos, vel, mass)
+        print(f"calibrate: {time.perf_counter() - t0:.0f} s "
+              f"wl_caps={list(cfg.wl_caps) or 'default'}", flush=True)
     t0 = time.perf_counter()
     # Donate: at 50M the pinned non-donated args (~2 GB) are the margin
     # between the first build fitting and runtime ResourceExhausted.

@@ -48,6 +48,15 @@ class BoidsConfig:
     # the cross-octant pairs pass one misses (99.9% total vs 97.2%
     # single-pass, scripts/boids_capture.py).
     second_pass: bool = True
+    # Width of the SECOND pass's window, in groups (0 = same as
+    # window_groups).  Pass 2 only recovers the octant-seam pairs pass 1
+    # missed (~1-3%), and those land in pass 2's window INTERIOR by
+    # construction of the diagonal shift — a narrower window keeps the
+    # capture at 3/5 of pass 2's accumulate cost.  Measured at 100K
+    # (scripts/boids_capture.py, round 4): two-pass capture 1.0000
+    # uniform / 0.9983 clustered at width 1, vs 1.0000 / 0.9989 at
+    # width 2.
+    pass2_window_groups: int = 1
     # Production stepper: the state stays Morton-sorted with FROZEN pass
     # orders; every `resort_interval` steps both orders rebuild from the
     # current positions.  Drift between re-sorts stays well inside the

@@ -152,6 +152,8 @@ def make_step_fn(config: BoidsConfig, substeps: int = 1):
                 state.pos, state.vel, state.col, state.p21, state.s21,
                 group_size=config.group_size,
                 window_groups=config.window_groups,
+                pass2_window_groups=getattr(config, "pass2_window_groups",
+                                            0),
                 second_pass=config.second_pass, **force_kw)
             pos, vel, col = physics(state.pos, state.vel, state.col,
                                     force, avg_col, dt)

@@ -713,8 +713,13 @@ def _auto_budget(npad: int) -> int:
     # (whose minor dim pads to 128 lanes on TPU, 21x) a 20.5 GB
     # compile-time allocation failure (docs/measurements_r4/
     # extreme_20m.log).
+    # The >20.5M branch was 40M through round 4's first 50M attempts —
+    # the deepest level then carries a 40M-slot live set (~30 gathered
+    # columns) and BOTH 50M runs died ResourceExhausted after the first
+    # build (extreme_50m_v3/v5.log).  24M fits; the overflow folds at
+    # the FINAL level only, the measured-gentle case.
     cap = (6_000_000 if npad <= 4_200_000 else
-           10_000_000 if npad <= 20_500_000 else 40_000_000)
+           10_000_000 if npad <= 20_500_000 else 24_000_000)
     return min(budget, cap)
 
 
@@ -2244,13 +2249,28 @@ def calibrate_config(config, pos, vel, mass, rounds=3, headroom=1.5):
             return out[7]
         return np.asarray(run(pos, vel, mass, tuple(wl_caps)))
 
-    HARD_CEIL = 48_000_000
+    # HBM-derived per-level ceiling: the traversal's live set per slot
+    # is ~30-40 f32/int32 columns (cell attrs + group bounds + interval
+    # pack + emission columns), call it 200 B with scatter targets and
+    # allocator slack.  Unbounded demand-growth OOM'd the 10M cluster
+    # on the v5e (calibrated deep caps 21M/40M -> ResourceExhausted,
+    # docs/measurements_r4/decide20_v2.log); the deep levels are also
+    # the least accuracy-critical (leaf-scale folds), so the ceiling
+    # clamps them while the shallow clamps — the measured source of the
+    # rms-0.9 tail — are granted in full (their demand is ~100x
+    # smaller).
+    usable = 13.0e9 - 120.0 * n
+    lvl_ceil = int(max(8_000_000, usable * 0.25 / 200.0))
+    HARD_CEIL = min(48_000_000, lvl_ceil)
     caps = list(defaults)
     grown = False
     for _ in range(max(1, rounds)):
         wl = probe(caps)
         demand = wl[n_levels:]
-        clamped = [int(demand[li]) > caps[li] for li in range(n_levels)]
+        clamped = [int(demand[li]) > caps[li]
+                   and caps[li] < min(HARD_CEIL,
+                                      ng * level_capacity(li + 2, npad))
+                   for li in range(n_levels)]
         if not any(clamped):
             break
         grown = True
@@ -2261,7 +2281,8 @@ def calibrate_config(config, pos, vel, mass, rounds=3, headroom=1.5):
                 exact = min(exact, 8 * new[li - 1])
             tgt = max(caps[li], int(int(demand[li]) * headroom))
             tgt = -(-tgt // 1024) * 1024
-            new.append(int(min(max(tgt, ng * 8), exact, HARD_CEIL)))
+            new.append(int(max(caps[li],
+                               min(max(tgt, ng * 8), exact, HARD_CEIL))))
         new[0] = max(new[0], ng * level_capacity(2, npad))
         caps = new
     if not grown:

@@ -86,10 +86,21 @@ def _window_accumulate(s_pos, s_vel, s_col, s_grpf, *, gsz, wg,
     # of pass-1's 32.9 ms at 500K vs ~15 ms of accumulate).  Shifted
     # flat slices are contiguous, need no transposes, and fuse into the
     # same pair loops.
+    # MXU form (round 4): the per-shift neighbour sums are batched
+    # matmuls — mask (ng, gsz, gsz) @ values (ng, gsz, 9) — instead of
+    # 14 separate VPU broadcast-reduces.  decide16_v2 measured the
+    # reduce form at 33 ms (pass 1) / 77 ms (both passes) at 500K; the
+    # matmul form reads each mask once and rides the systolic array.
+    # Separation decomposes exactly: sum_j w_ij (p_i - p_j)
+    #   = p_i * rowsum(w) - w @ p_j.
+    # HIGHEST precision keeps the contraction f32-exact (tests compare
+    # against the sequential oracle at 1e-4).
     pw = wg * gsz
     P = jnp.pad(s_pos, ((0, 0), (pw, pw)), constant_values=2e9)
-    V = jnp.pad(s_vel, ((0, 0), (pw, pw)))
-    C = jnp.pad(s_col, ((0, 0), (pw, pw)))
+    # Value stack rows: [vel(3); pos(3); col(3)] — one slice per shift.
+    S9 = jnp.concatenate(
+        [jnp.pad(s_vel, ((0, 0), (pw, pw))), P,
+         jnp.pad(s_col, ((0, 0), (pw, pw)))], axis=0)
     gpos = s_pos.reshape(3, ng, gsz)
     if s_grpf is not None:
         G = jnp.pad(s_grpf, ((0, 0), (pw, pw)), constant_values=1e9)
@@ -97,22 +108,19 @@ def _window_accumulate(s_pos, s_vel, s_col, s_grpf, *, gsz, wg,
     # Dedup threshold: how wide the PREVIOUS pass's window was (its own
     # wg), not this pass's.
     wg_f = jnp.float32(prev_wg if prev_wg is not None else wg)
+    hi = jax.lax.Precision.HIGHEST
 
-    sep = jnp.zeros((3, ng, gsz), jnp.float32)
-    align = jnp.zeros((3, ng, gsz), jnp.float32)
-    coh = jnp.zeros((3, ng, gsz), jnp.float32)
-    csum = jnp.zeros((3, ng, gsz), jnp.float32)
+    acc9 = jnp.zeros((9, ng, gsz), jnp.float32)   # [align; coh; csum]
+    sepj = jnp.zeros((3, ng, gsz), jnp.float32)   # sum_j w_ij p_j
+    sep_row = jnp.zeros((ng, gsz), jnp.float32)   # rowsum(w)
     sep_count = jnp.zeros((ng, gsz), jnp.int32)
     nb_count = jnp.zeros((ng, gsz), jnp.int32)
 
     for k in range(2 * wg + 1):
         off = k * gsz
-        wp = jax.lax.dynamic_slice_in_dim(P, off, npad, 1).reshape(
-            3, ng, gsz)
-        wv = jax.lax.dynamic_slice_in_dim(V, off, npad, 1).reshape(
-            3, ng, gsz)
-        wc = jax.lax.dynamic_slice_in_dim(C, off, npad, 1).reshape(
-            3, ng, gsz)
+        w9 = jax.lax.dynamic_slice_in_dim(S9, off, npad, 1).reshape(
+            9, ng, gsz)
+        wp = w9[3:6]
         d = gpos[:, :, :, None] - wp[:, :, None, :]  # (3, ng, gsz, gsz)
         dist_sq = jnp.sum(d * d, axis=0)
         is_nb = (dist_sq < perception_sq) & (dist_sq > 0.0001)
@@ -127,15 +135,20 @@ def _window_accumulate(s_pos, s_vel, s_col, s_grpf, *, gsz, wg,
 
         inv_dist = jax.lax.rsqrt(jnp.maximum(dist_sq, 1e-12))
         wsep = jnp.where(is_sep, inv_dist * inv_dist, 0.0)
-        sep = sep + jnp.sum(wsep[None] * d, axis=3)
+        nbf = is_nb.astype(jnp.float32)
+        acc9 = acc9 + jnp.einsum('gij,cgj->cgi', nbf, w9, precision=hi)
+        # Per-group-centred positions: sum_j w (p_j - c_g) keeps the
+        # matmul operands at window-extent magnitude, so the final
+        # p_i*rowsum - sepj subtraction doesn't cancel catastrophically
+        # at domain-scale |p| (bounds=500).
+        sepj = sepj + jnp.einsum('gij,cgj->cgi', wsep,
+                                 wp - gpos[:, :, :1], precision=hi)
+        sep_row = sep_row + jnp.sum(wsep, axis=2)
         sep_count = sep_count + jnp.sum(is_sep, axis=2)
-
-        nbf = is_nb.astype(jnp.float32)[None]
-        align = align + jnp.sum(nbf * wv[:, :, None, :], axis=3)
-        coh = coh + jnp.sum(nbf * wp[:, :, None, :], axis=3)
-        csum = csum + jnp.sum(nbf * wc[:, :, None, :], axis=3)
         nb_count = nb_count + jnp.sum(is_nb, axis=2)
 
+    sep = (gpos - gpos[:, :, :1]) * sep_row[None] - sepj
+    align, coh, csum = acc9[0:3], acc9[3:6], acc9[6:9]
     # Keep the historical (ng, 3, gsz) return contract.
     mv = lambda a: jnp.moveaxis(a, 0, 1)  # noqa: E731
     return (mv(sep), sep_count, mv(align), mv(coh), mv(csum), nb_count)
@@ -197,6 +210,7 @@ def flocking_forces_window(pos, vel, col, *, cell_size, grid_dim, offset,
                            separation_weight, alignment_weight,
                            cohesion_weight, max_speed, max_force,
                            group_size=256, window_groups=2,
+                           pass2_window_groups=0,
                            second_pass=True, return_counts=False):
     """Production flocking path: Morton-sorted sliding-window neighbours.
 
@@ -239,8 +253,10 @@ def flocking_forces_window(pos, vel, col, *, cell_size, grid_dim, offset,
         c2 = c + shift
         code2 = (_spread3(c2[0]) | (_spread3(c2[1]) << 1)
                  | (_spread3(c2[2]) << 2))
+        kw2 = dict(kw, wg=(pass2_window_groups or window_groups),
+                   prev_wg=window_groups)
         sep2, sc2, al2, coh2, cs2, nc2, _ = _window_pass(
-            pos, vel, col, grp, code2, **kw)
+            pos, vel, col, grp, code2, **kw2)
         sep = sep + sep2
         sep_count = sep_count + sc2
         align = align + al2
@@ -325,6 +341,7 @@ def flocking_forces_window_frozen(pos1, vel1, col1, p21_pad, s21, *,
                                   separation_weight, alignment_weight,
                                   cohesion_weight, max_speed, max_force,
                                   group_size=256, window_groups=2,
+                                  pass2_window_groups=0,
                                   second_pass=True, return_counts=False):
     """Window forces on PASS-1-SORTED state with FROZEN orders.
 
@@ -380,7 +397,9 @@ def flocking_forces_window_frozen(pos1, vel1, col1, p21_pad, s21, *,
         s_col2 = P2[6:9]
         g1f = jnp.where(real2, (p21_pad // gsz).astype(jnp.float32),
                         -1e9)[None, :]
-        acc2 = _window_accumulate(s_pos2, s_vel2, s_col2, g1f, **kw)
+        kw2 = dict(kw, wg=(pass2_window_groups or window_groups),
+                   prev_wg=window_groups)
+        acc2 = _window_accumulate(s_pos2, s_vel2, s_col2, g1f, **kw2)
 
         sep2, sc2, al2, coh2, cs2, nc2 = acc2
         rows2 = jnp.concatenate(

@@ -75,6 +75,19 @@ def test_window_two_pass_capture_rate():
     capture = nb_win.sum() / max(nb_exact.sum(), 1)
     assert capture >= 0.995, f"capture rate {capture:.4f}"
 
+    # The production default narrows PASS 2's window (seam pairs land in
+    # its interior by construction of the diagonal shift); capture must
+    # stay within a fraction of a percent of the full-width pass
+    # (measured 0.9983 vs 0.9989 clustered at 100K,
+    # scripts/boids_capture.py round 4).
+    _, _, nb_narrow = flocking_forces_window(
+        pos, vel, col, group_size=128, window_groups=3,
+        pass2_window_groups=1, return_counts=True, **_common(cfg))
+    nb_narrow = np.asarray(nb_narrow)
+    assert (nb_narrow <= nb_exact).all(), "double-counted pairs"
+    cap_narrow = nb_narrow.sum() / max(nb_exact.sum(), 1)
+    assert cap_narrow >= 0.99, f"narrow pass-2 capture {cap_narrow:.4f}"
+
 
 def test_window_two_pass_capture_torture():
     """Extreme density: 8000 boids across a 14-cell-wide grid."""
