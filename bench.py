@@ -28,6 +28,19 @@ import subprocess
 import sys
 import time
 
+# Persistent compilation cache: the 1M/10M step programs take minutes to
+# compile through the remote-compile tunnel; a warm cache turns the
+# driver's end-of-round run into seconds of compile.  Must be set before
+# jax is imported anywhere below.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpu_jit_cache")
+
+# Hard per-metric wall budget (seconds).  Round 4 lost two metrics when
+# the 10M OOM burned the driver's whole suite budget (BENCH_r04 rc=124);
+# a metric that cannot finish inside its budget is reported as failed and
+# the suite moves on.  Generous enough for a cold compile of the largest
+# program.
+METRIC_TIMEOUT_S = {"boids": 420, "boids500k": 420, "1m": 900, "10m": 900}
+
 
 def reference_steps_per_sec(n: int, theta: float) -> float:
     """Reference CPU anchor extrapolated with its own n·log n x (0.8/θ)²
@@ -185,12 +198,18 @@ def main(argv=None) -> int:
         # numbers — round 3's rc=1 recorded nothing; (b) each metric
         # starts with a clean HBM arena instead of inheriting the
         # previous scale's resident buffers.
+        # Cheapest-first so a slow/failing heavy metric can never cost the
+        # cheap ones their numbers; each metric under a hard wall budget.
         passthrough = list(sys.argv[1:])
         failures = 0
-        for job in ["1m", "10m", "boids", "boids500k"]:
-            rc = subprocess.call(
-                [sys.executable, os.path.abspath(__file__),
-                 "--only", job] + passthrough)
+        for job in ["boids", "boids500k", "1m", "10m"]:
+            try:
+                rc = subprocess.call(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--only", job] + passthrough,
+                    timeout=METRIC_TIMEOUT_S[job])
+            except subprocess.TimeoutExpired:
+                rc = -9
             if rc != 0:
                 failures += 1
                 print(f"[bench] metric {job} FAILED rc={rc}",

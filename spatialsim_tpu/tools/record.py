@@ -60,9 +60,13 @@ _EST_ALLPAIRS_PAIRS_PER_S = 1.2e12
 def _anchor_from_bench() -> float:
     """Newest committed 1M steps/s bench value -> anchor seconds/step.
 
-    Scans BENCH_r*.json next to the package for the LAST successful run
-    (rc == 0) carrying the ``nbody_steps_per_sec_1000k_theta0.8`` metric
-    line; falls back to :data:`_EST_ANCHOR_STEP_S`.
+    Scans BENCH_r*.json next to the package for the LAST run carrying the
+    ``nbody_steps_per_sec_1000k_theta0.8`` metric line; falls back to
+    :data:`_EST_ANCHOR_STEP_S`.  The metric line itself is trusted even
+    when the whole suite's rc != 0 — bench.py runs each metric in its own
+    subprocess, so a later metric's failure (e.g. a 10M OOM) does not
+    invalidate the 1M number, and requiring rc == 0 pinned ETAs to the
+    last fully-green round's (stale) speed.
     """
     import glob
     import json
@@ -75,8 +79,6 @@ def _anchor_from_bench() -> float:
         try:
             rec = json.loads(open(path).read())
         except (OSError, ValueError):
-            continue
-        if rec.get("rc") != 0:
             continue
         m = re.search(
             r'"metric":\s*"nbody_steps_per_sec_1000k_theta0\.8",\s*'

@@ -182,5 +182,9 @@ def test_estimate_is_engine_aware():
     big = record_tool.estimate_recording_time(
         {"num_bodies": 1_000_000, "theta": 0.8, "total_frames": 100,
          "substeps": 1})
-    assert big == pytest.approx(100 * record_tool._EST_ANCHOR_STEP_S,
+    # The window anchor tracks the newest committed 1M bench METRIC line
+    # (valid even when the whole suite's rc != 0 — metrics run in
+    # isolated subprocesses), falling back to the static constant.
+    assert big == pytest.approx(100 * record_tool._anchor_from_bench(),
                                 rel=0.01)
+    assert 1.0 / record_tool._anchor_from_bench() >= 5.0  # sane steps/s
