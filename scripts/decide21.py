@@ -34,6 +34,22 @@ from spatialsim_tpu.ops.morton import morton_encode
 from spatialsim_tpu.ops.bounds import compute_bounds
 
 
+def probe_all(out):
+    """f32 scalar that depends on EVERY leaf of ``out``.
+
+    Probing a single element of a single output lets XLA dead-code-
+    eliminate the rest of the scan body (measured: octree marginal
+    "-1 ms", traversal 462 ms vs 2808 ms single-dispatch — the emission
+    scatters were pruned).  Full reductions cannot be sliced through, so
+    every producing op stays live; the extra HBM read (~one pass over
+    the outputs) is noise against the phases being measured.
+    """
+    acc = jnp.float32(0)
+    for lf in jax.tree_util.tree_leaves(out):
+        acc = acc + jnp.sum(lf.astype(jnp.float32)) * jnp.float32(1e-20)
+    return acc
+
+
 def timeit(fn, reps=3):
     out = fn()
     np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
@@ -115,8 +131,7 @@ def main():
         def run(s_codes, s_pos, s_mass, s_vel, s_acc, half):
             def body(c, _):
                 tree = mktree(s_codes, c, s_mass, s_vel, s_acc, half)
-                probe = tree.levels[0].mass[0]
-                return c + 1e-20 * probe, None
+                return c + probe_all(tree), None
             out, _ = jax.lax.scan(body, s_pos, None, length=k)
             return out
         return lambda: run(s_codes, s_pos, s_mass, s_vel, s_acc, half)
@@ -164,8 +179,7 @@ def main():
                         tree, bb, bbox_max, ng, **{**tkw,
                                                    "intervals": intervals},
                         ablate=abl)
-                    probe = out[2][0].astype(jnp.float32)  # far_n[0]
-                    return bb + 1e-20 * probe, None
+                    return bb + probe_all(out), None
                 out, _ = jax.lax.scan(body, bbox_min, None, length=k)
                 return out
             return lambda: run(tree, bbox_min, bbox_max, intervals)
@@ -202,7 +216,7 @@ def main():
                     c, s_vel, s_mass, order, order_pad, pos, n,
                     kw["list_cap"], tile=kw["pool_tile"] or 512,
                     cap_tiles=cap, s_acc=s_acc, near=near)
-                return c + 1e-20 * lists.pool[0, 6, 0], None
+                return c + probe_all(lists), None
             out, _ = jax.lax.scan(body, s_pos, None, length=k)
             return out
         return lambda: run(*fin_args)
@@ -216,7 +230,7 @@ def main():
                     None, far_range, far_n, sl_s, sl_e, sl_n, res,
                     c, s_vel, s_mass, order, order_pad, pos, n,
                     kw["list_cap"], s_acc=s_acc, near=near)
-                return c + 1e-20 * lists.far[0, 6, 0], None
+                return c + probe_all(lists), None
             out, _ = jax.lax.scan(body, s_pos, None, length=k)
             return out
         return lambda: run(*fin_args)
@@ -239,7 +253,7 @@ def _chain_sort(pos, vel, mass, acc, k, presort):
     def run(pos, vel, mass, acc):
         def body(c, _):
             outs = presort(c, vel, mass, acc)
-            return c + 1e-20 * outs[2][0, 0], None
+            return c + probe_all(outs), None
         out, _ = jax.lax.scan(body, pos, None, length=k)
         return out
     return run(pos, vel, mass, acc)

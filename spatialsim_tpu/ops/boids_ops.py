@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 def _window_accumulate(s_pos, s_vel, s_col, s_grpf, *, gsz, wg,
                        perception_sq, separation_sq, prev_wg=None,
-                       use_pallas=None):
+                       use_pallas=None, halo9=None, halo_grpf=None):
     """Dense Morton-window accumulation over SORTED padded inputs.
 
     ``s_pos``/``s_vel``/``s_col``: ``(3, npad)`` in this pass's sorted
@@ -44,6 +44,14 @@ def _window_accumulate(s_pos, s_vel, s_col, s_grpf, *, gsz, wg,
     previous pass's window are excluded exactly.  Returns raw neighbour
     accumulators in SORTED layout: ``(sep (ng,3,gsz), sep_count, align,
     coh, csum, nb_count)``.
+
+    ``halo9``: optional ``(left, right)`` pair of ``(9, wg*gsz)`` arrays
+    — rows ``[vel3, pos3, col3]`` — holding the sorted slots just
+    OUTSIDE this array (the sharded engine's ppermute halos,
+    :func:`spatialsim_tpu.parallel.sharded.make_sharded_boids_step`).
+    Without it the window is edge-padded with far-away constants, the
+    single-chip semantic.  ``halo_grpf``: the matching ``(1, wg*gsz)``
+    pair for ``s_grpf``.  XLA path only.
 
     ``use_pallas`` None = auto.  Auto currently means this XLA form
     everywhere: measured chained-marginal on the v5e (scripts/
@@ -56,6 +64,8 @@ def _window_accumulate(s_pos, s_vel, s_col, s_grpf, *, gsz, wg,
     ng = npad // gsz
     if use_pallas is None:
         use_pallas = False
+    if halo9 is not None:
+        assert not use_pallas, "halos are XLA-path only"
     if use_pallas:
         from spatialsim_tpu.ops.boids_window_kernel import (
             boids_window_pallas)
@@ -96,14 +106,24 @@ def _window_accumulate(s_pos, s_vel, s_col, s_grpf, *, gsz, wg,
     # HIGHEST precision keeps the contraction f32-exact (tests compare
     # against the sequential oracle at 1e-4).
     pw = wg * gsz
-    P = jnp.pad(s_pos, ((0, 0), (pw, pw)), constant_values=2e9)
-    # Value stack rows: [vel(3); pos(3); col(3)] — one slice per shift.
-    S9 = jnp.concatenate(
-        [jnp.pad(s_vel, ((0, 0), (pw, pw))), P,
-         jnp.pad(s_col, ((0, 0), (pw, pw)))], axis=0)
+    if halo9 is not None:
+        hl, hr = halo9
+        S9 = jnp.concatenate(
+            [hl, jnp.concatenate([s_vel, s_pos, s_col], axis=0), hr],
+            axis=1)
+    else:
+        P = jnp.pad(s_pos, ((0, 0), (pw, pw)), constant_values=2e9)
+        # Value stack rows: [vel(3); pos(3); col(3)] — one slice per shift.
+        S9 = jnp.concatenate(
+            [jnp.pad(s_vel, ((0, 0), (pw, pw))), P,
+             jnp.pad(s_col, ((0, 0), (pw, pw)))], axis=0)
     gpos = s_pos.reshape(3, ng, gsz)
     if s_grpf is not None:
-        G = jnp.pad(s_grpf, ((0, 0), (pw, pw)), constant_values=1e9)
+        if halo_grpf is not None:
+            G = jnp.concatenate(
+                [halo_grpf[0], s_grpf, halo_grpf[1]], axis=1)
+        else:
+            G = jnp.pad(s_grpf, ((0, 0), (pw, pw)), constant_values=1e9)
         ggrp = s_grpf.reshape(ng, gsz)
     # Dedup threshold: how wide the PREVIOUS pass's window was (its own
     # wg), not this pass's.

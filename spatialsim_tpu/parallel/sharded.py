@@ -466,6 +466,201 @@ def make_sharded_window_step(config, n: int, mesh: Mesh, substeps: int = 1):
     return jax.jit(step, donate_argnums=(0,)), init_fn
 
 
+def make_sharded_boids_step(config, n: int, mesh: Mesh, substeps: int = 1):
+    """Sharded boids window engine: boids split by device over ``bodies``.
+
+    Mirrors the reference Flock's per-frame pipeline (``boids/flock.py:
+    610-678``) at multi-chip scale with the same collective shapes as the
+    n-body window engine (:func:`make_sharded_window_step`):
+
+      * state lives PASS-1-MORTON-SORTED; device d owns the contiguous
+        sorted slot range ``[d·n/D, (d+1)·n/D)`` (spatially coherent);
+      * per substep, pass 1 runs on local slots after a ±``window_groups``
+        HALO EXCHANGE — two non-cyclic ``ppermute`` hops carrying the
+        ``wg·group_size`` edge slots' 9 state rows each (the Morton
+        window is the only cross-shard data pass 1 needs).  Edge devices'
+        missing halos are filled with the single-chip far-away constants;
+      * pass 2 (the diagonally-shifted dedup pass) permutes GLOBALLY by
+        construction, so it rides one ``all_gather`` of the 9-row state:
+        each device evaluates only its slice of pass-2 slots and one
+        ``all_gather`` of the 14 accumulator rows routes them back to
+        pass-1 owners;
+      * every ``resort_interval`` steps both frozen orders rebuild from an
+        all-gathered state (replicated argsort, exactly the single-chip
+        :func:`~spatialsim_tpu.ops.boids_ops.build_boids_orders`), and
+        each device re-slices its shard — identical to the n-body
+        rebuild's ``gather_rep`` path;
+      * physics (walls, clamps, colour blend) is elementwise-local.
+
+    Determinism: every pair set and contraction order matches the
+    single-chip :func:`~spatialsim_tpu.ops.boids_ops.
+    flocking_forces_window_frozen`, so 1-chip and D-chip trajectories
+    agree to f32 tolerance (tests/test_sharded.py).
+
+    Returns ``(jitted_step, init_fn)``; ``init_fn(pos, vel, col)``
+    (original boid order) places a correctly-sharded
+    :class:`~spatialsim_tpu.models.boids.BoidsWindowState`.
+    """
+    from spatialsim_tpu.models.boids import (
+        BoidsWindowState, init_boids_window_state)
+    from spatialsim_tpu.ops.boids_ops import (
+        _merge_and_steer, _window_accumulate, boids_physics,
+        build_boids_orders)
+
+    axis = BODY_AXIS
+    D = mesh.shape[axis]
+    gsz = config.group_size
+    if n % (D * gsz) != 0:
+        raise ValueError("num_boids must divide evenly by devices*groups")
+    nl = n // D
+    wg = config.window_groups
+    wg2 = getattr(config, "pass2_window_groups", 0) or wg
+    pw = wg * gsz
+    pw2 = wg2 * gsz
+    second_pass = config.second_pass
+    resort_interval = getattr(config, "resort_interval", 6)
+    grid_kw = dict(cell_size=config.cell_size, grid_dim=config.grid_dim,
+                   offset=config.bounds + config.cell_size)
+    acc_kw = dict(gsz=gsz,
+                  perception_sq=float(config.perception_radius) ** 2,
+                  separation_sq=float(config.separation_radius) ** 2)
+    wall_force = config.max_force * config.wall_weight
+
+    def _flat14(acc):
+        sep, sep_count, align, coh, csum, nb_count = acc
+        return jnp.concatenate(
+            [jnp.moveaxis(a, 0, 1).reshape(3, -1)
+             for a in (sep, align, coh, csum)]
+            + [sep_count.reshape(1, -1).astype(jnp.float32),
+               nb_count.reshape(1, -1).astype(jnp.float32)], axis=0)
+
+    def step_local(pos_l, vel_l, col_l, p21, s21, order1, inv1, ss, dt):
+        dev = jax.lax.axis_index(axis)
+
+        def substep(carry, _):
+            pos_l, vel_l, col_l, p21, s21, order1, inv1, ss = carry
+
+            def do_resort(args):
+                pos_l, vel_l, col_l, p21, s21, order1, inv1, ss = args
+                sf = jax.lax.all_gather(
+                    jnp.concatenate([pos_l, vel_l, col_l], axis=0),
+                    axis, axis=1, tiled=True)               # (9, n)
+                o1, p21n, s21n = build_boids_orders(
+                    sf[0:3], group_size=gsz, **grid_kw)
+                order1n = order1[o1]
+                o1_inv = jnp.zeros((n,), jnp.int32).at[o1].set(
+                    jnp.arange(n, dtype=jnp.int32))
+                inv1n = o1_inv[inv1]
+                s9 = jax.lax.dynamic_slice_in_dim(
+                    sf[:, o1], dev * nl, nl, axis=1)
+                return (s9[0:3], s9[3:6], s9[6:9], p21n, s21n,
+                        order1n, inv1n, jnp.int32(0))
+
+            (pos_l, vel_l, col_l, p21, s21, order1, inv1, ss) = (
+                jax.lax.cond(
+                    ss >= resort_interval, do_resort, lambda a: a,
+                    (pos_l, vel_l, col_l, p21, s21, order1, inv1, ss)))
+
+            # Pass 1: ±wg halo exchange (rows [vel, pos, col] to match
+            # _window_accumulate's S9 stack).  Non-cyclic; the outermost
+            # devices' missing halos get the single-chip edge constants
+            # (pos 2e9 so they never pass the perception test — boids
+            # carry no mass to neutralize a zero like n-body padding).
+            s9 = jnp.concatenate([vel_l, pos_l, col_l], axis=0)
+            from_left = jax.lax.ppermute(
+                s9[:, -pw:], axis, [(i, i + 1) for i in range(D - 1)])
+            from_right = jax.lax.ppermute(
+                s9[:, :pw], axis, [(i + 1, i) for i in range(D - 1)])
+            far9 = jnp.concatenate(
+                [jnp.zeros((3, pw), jnp.float32),
+                 jnp.full((3, pw), 2e9, jnp.float32),
+                 jnp.zeros((3, pw), jnp.float32)], axis=0)
+            hl = jnp.where(dev > 0, from_left, far9)
+            hr = jnp.where(dev < D - 1, from_right, far9)
+            acc1 = _window_accumulate(
+                pos_l, vel_l, col_l, None, wg=wg, halo9=(hl, hr),
+                **acc_kw)
+            rows = _flat14(acc1)                            # (14, nl)
+
+            if second_pass:
+                sf = jax.lax.all_gather(s9, axis, axis=1, tiled=True)
+                # This device's pass-2 slots plus wg2 halo groups on each
+                # side, all gathered from the full pass-1-layout state in
+                # one packed gather.  Out-of-range halo slots (global
+                # pass-2 ends) collapse to the far-away fill.
+                k2 = dev * nl + jnp.arange(-pw2, nl + pw2,
+                                           dtype=jnp.int32)
+                valid = (k2 >= 0) & (k2 < n)
+                p21w = jnp.where(valid, p21[jnp.clip(k2, 0, n - 1)], 0)
+                P2 = sf[:, p21w]                            # (9, nl+2pw2)
+                P2 = jnp.where(valid[None, :], P2, 0.0)
+                P2 = P2.at[3:6].set(
+                    jnp.where(valid[None, :], P2[3:6], 2e9))
+                g1f = jnp.where(valid, (p21w // gsz).astype(jnp.float32),
+                                1e9)[None, :]
+                acc2 = _window_accumulate(
+                    P2[3:6, pw2:pw2 + nl], P2[0:3, pw2:pw2 + nl],
+                    P2[6:9, pw2:pw2 + nl], g1f[:, pw2:pw2 + nl],
+                    wg=wg2, prev_wg=wg,
+                    halo9=(P2[:, :pw2], P2[:, nl + pw2:]),
+                    halo_grpf=(g1f[:, :pw2], g1f[:, nl + pw2:]),
+                    **acc_kw)
+                rows2_f = jax.lax.all_gather(
+                    _flat14(acc2), axis, axis=1, tiled=True)  # (14, n)
+                s21_l = jax.lax.dynamic_slice_in_dim(s21, dev * nl, nl)
+                rows = rows + rows2_f[:, s21_l]
+
+            force, avg_col = _merge_and_steer(
+                rows[0:3], rows[12].astype(jnp.int32), rows[3:6],
+                rows[6:9], rows[9:12], rows[13].astype(jnp.int32),
+                pos_l, vel_l, col_l,
+                config.separation_weight, config.alignment_weight,
+                config.cohesion_weight, config.max_speed,
+                config.max_force)
+            blend = jnp.minimum(1.0, config.color_blend_rate * dt)
+            pos2, vel2, col2 = boids_physics(
+                pos_l, vel_l, col_l, force, avg_col,
+                bounds=config.bounds, margin=config.wall_margin,
+                wall_force=wall_force, max_speed=config.max_speed,
+                color_blend=blend, dt=dt)
+            return (pos2, vel2, col2, p21, s21, order1, inv1,
+                    ss + 1), None
+
+        init = (pos_l, vel_l, col_l, p21, s21, order1, inv1, ss)
+        out, _ = jax.lax.scan(substep, init, None, length=substeps)
+        return out
+
+    sh2 = P(None, axis)
+    rep = P()
+    in_specs = (sh2, sh2, sh2, rep, rep, rep, rep, rep, rep)
+    out_specs = (sh2, sh2, sh2, rep, rep, rep, rep, rep)
+    try:
+        smapped = shard_map(step_local, mesh=mesh, in_specs=in_specs,
+                            out_specs=out_specs, check_rep=False)
+    except TypeError:  # newer jax renamed the replication check
+        smapped = shard_map(step_local, mesh=mesh, in_specs=in_specs,
+                            out_specs=out_specs, check_vma=False)
+
+    def step(state: "BoidsWindowState", dt):
+        pos, vel, col, p21, s21, order1, inv1, ss = smapped(
+            state.pos, state.vel, state.col, state.p21, state.s21,
+            state.order1, state.inv1, state.steps_since, dt)
+        return BoidsWindowState(pos, vel, col, order1, inv1, p21, s21,
+                                ss)
+
+    def init_fn(pos, vel, col):
+        st = init_boids_window_state(pos, vel, col, config)
+        place = lambda a, spec: jax.device_put(  # noqa: E731
+            a, NamedSharding(mesh, spec))
+        return BoidsWindowState(
+            place(st.pos, sh2), place(st.vel, sh2), place(st.col, sh2),
+            place(st.order1, rep), place(st.inv1, rep),
+            place(st.p21, rep), place(st.s21, rep),
+            place(st.steps_since, rep))
+
+    return jax.jit(step, donate_argnums=(0,)), init_fn
+
+
 def make_sharded_step(config, n: int, mesh: Mesh, substeps: int = 1,
                       engine: Optional[str] = None):
     """Jitted sharded step: (state, dt) -> state, bodies sharded over mesh.
