@@ -153,6 +153,14 @@ def main():
       except Exception as ex:  # noqa: BLE001 — one variant's OOM must not kill the rest
         print(f"[{tag}] FAILED {type(ex).__name__}: {str(ex)[:300]}",
               flush=True)
+        # Actually release the failed variant's HBM before the next one:
+        # partially-built device arrays and jit caches otherwise stay
+        # referenced in locals and cascade the ResourceExhausted
+        # (decide20_v2.log: calibrated AND cal_L16k failed back-to-back).
+        lists = a = fn = at_cap = res_g = None  # noqa: F841
+        import gc
+        gc.collect()
+        jax.clear_caches()
     print("done", flush=True)
 
 

@@ -80,12 +80,16 @@ def main():
         @jax.jit
         def run(ccom, gb):
             def body(c, _):
-                gmin, gmax = gb[0:3], gb[3:6]
-                gap0 = jnp.maximum(gmin[:, None, :] - c[:, :, None],
-                                   c[:, :, None] - gmax[:, None, :])
-                gap = jnp.maximum(gap0, 0.0)
-                d2 = (gap[0] * gap[0] + gap[1] * gap[1]
-                      + gap[2] * gap[2] + 4.0)
+                # Per-axis 2D expressions ONLY: a (3, C, G) broadcast
+                # materializes 11.6 GB instead of fusing (measured OOM,
+                # decide22 first run) — keep every temp rank-2.
+                d2 = jnp.full((C, G), 4.0, jnp.float32)
+                for ax in range(3):
+                    gap = jnp.maximum(
+                        jnp.maximum(gb[ax][None, :] - c[ax][:, None],
+                                    c[ax][:, None] - gb[3 + ax][None, :]),
+                        0.0)
+                    d2 = d2 + gap * gap
                 cs, ce = crng[0][:, None], crng[1][:, None]
                 lo, hi = iv[0][None, :], iv[1][None, :]
                 in_u = (cs >= lo) & (ce <= hi)

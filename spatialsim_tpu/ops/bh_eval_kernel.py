@@ -718,6 +718,22 @@ def pallas_window_eval(s_pos, s_mass, far, far_n,
     L = far.shape[2]
     soft_sq = float(softening) ** 2
     gpp = max(1, groups_per_program)
+    # VMEM guard: the dense (gpp, R, L) far block is double-buffered by
+    # the pipeline, and at EXTREME list caps (L 8-16K, quadrupole R 13/16)
+    # it alone can exceed the ~16 MB scoped-VMEM budget (measured at the
+    # calibrated 10M shape: "Scoped allocation 16.82M > 16.00M",
+    # docs/measurements_r4/decide20_10m.log).  Halve gpp until the
+    # estimated footprint fits; correctness is gpp-invariant.
+    def _vmem_est(g):
+        nv = g + 2 * wg
+        blocks = (g * R * L            # far block
+                  + nv * 8 * gsz       # window views
+                  + 8 * g * gsz        # output
+                  + gsz * _tgt_width(g))  # pre-transposed targets (upper bd)
+        scratch = 8 * max(gsz, min(far_tile, L), nv * gsz)
+        return (2 * blocks + scratch) * 4
+    while gpp > 1 and _vmem_est(gpp) > 14 * 1024 * 1024:
+        gpp //= 2
     ng2 = ((ng + gpp - 1) // gpp) * gpp
     gpad = ng2 - ng
 

@@ -267,6 +267,107 @@ def _comp_seg(pref2, s, e):
 
 
 # ---------------------------------------------------------------------------
+# Scatter-free compaction: within-tile compact + run-reconstruction assembly
+# ---------------------------------------------------------------------------
+
+# Tile width for _tile_compact.  Small tiles keep the per-tile work
+# (sort network / one-hot operand) cheap; the cross-tile assembly cost
+# is tile-invariant.  32 = one subword-register row pair.
+_COMPACT_TILE = 32
+
+
+def _tile_compact(mask, payloads, tile=_COMPACT_TILE, method="sort"):
+    """Stable within-tile compaction of masked entries, scatter-free.
+
+    ``mask``: (W,) bool, W a multiple of ``tile``.  ``payloads``: tuple of
+    (W,) int32 columns.  Within every run of ``tile`` consecutive slots,
+    the masked entries' payloads are moved to the run's front (original
+    order kept); slots past the run's count are unspecified.  Returns
+    ``(compacted (k, W) int32, counts (W//tile,) int32)``.
+
+    Why: an XLA scatter pays its per-update tax on ALL W updates even
+    when most are masked off (``mode="drop"`` does not skip them) — the
+    emission scatters were the single largest phase of the 1M rebuild
+    (decide21_v2: +562 ms).  Both methods below are dense vector/matrix
+    programs whose cost rides bandwidth, not per-element serialization:
+
+    * ``"sort"``: one stable variadic sort of each (tile,)-run keyed by
+      ~mask — a fixed comparator network over the minor axis, int32
+      payloads carried exactly.
+    * ``"matmul"``: rank one-hot (T, tile, tile) contracted against the
+      payload columns on the MXU.  Payloads are split into 12-bit halves
+      so every product is exact in bf16-pass f32 matmuls.
+    """
+    W = mask.shape[0]
+    assert W % tile == 0
+    T = W // tile
+    m = mask.reshape(T, tile)
+    mi = m.astype(jnp.int32)
+    counts = jnp.sum(mi, axis=1)
+    if method == "sort":
+        key = 1 - mi                            # masked first, stable
+        ops = (key,) + tuple(p.reshape(T, tile) for p in payloads)
+        out = jax.lax.sort(ops, dimension=1, is_stable=True, num_keys=1)
+        return jnp.stack([o.reshape(W) for o in out[1:]]), counts
+    # matmul: out[t, j] = Σ_i onehot[t, i, j] · payload[t, i]
+    rank = jnp.cumsum(mi, axis=1) - mi
+    iota = jnp.arange(tile, dtype=jnp.int32)
+    oh = ((rank[:, :, None] == iota[None, None, :]) & m[:, :, None])
+    ohf = oh.astype(jnp.float32)
+    cols = []
+    for p in payloads:
+        pt = p.reshape(T, tile)
+        cols.append((pt >> 12).astype(jnp.float32))
+        cols.append((pt & 0xFFF).astype(jnp.float32))
+    pay = jnp.stack(cols, axis=2)               # (T, tile, 2k)
+    out = jax.lax.dot_general(
+        ohf, pay, (((1,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST)    # (T, tile, 2k)
+    oi = out.astype(jnp.int32)
+    merged = [(oi[:, :, 2 * i] << 12) | oi[:, :, 2 * i + 1]
+              for i in range(len(payloads))]
+    return jnp.stack([mm.reshape(W) for mm in merged]), counts
+
+
+def _tile_assemble(counts, payload_tiles, cap, tile=_COMPACT_TILE):
+    """Concatenate per-tile compacted prefixes into dense (k, cap) arrays.
+
+    ``counts``: (T,) per-tile entry counts; ``payload_tiles``: (k, T*tile)
+    within-tile-compacted columns (:func:`_tile_compact`).  Entries keep
+    their global order.  Scatter work is T-domain only (run descriptors);
+    everything per-entry is dense cumsum + packed gathers.  Returns
+    ``(dense (k, cap) int32 — zero past ``total`` —, total int32)``.
+    Entries past ``cap`` are dropped (callers size ``cap`` to the exact
+    emission bound or fold the overflow themselves).
+    """
+    T = counts.shape[0]
+    base = jnp.cumsum(counts) - counts
+    total = jnp.minimum(base[-1] + counts[-1], cap)
+    has = counts > 0
+    hi = jnp.cumsum(has.astype(jnp.int32)) - has
+    rpos = jnp.where(has, hi, T)
+    run_tile = jnp.zeros((T,), jnp.int32).at[rpos].set(
+        jnp.arange(T, dtype=jnp.int32), mode="drop")
+    run_base = jnp.zeros((T,), jnp.int32).at[rpos].set(base, mode="drop")
+    # Bases of nonempty tiles are strictly increasing -> distinct marks.
+    mark = jnp.zeros((cap,), jnp.int32).at[
+        jnp.where(has, jnp.minimum(base, cap), cap)].set(1, mode="drop")
+    seg = jnp.clip(jnp.cumsum(mark) - 1, 0, T - 1)
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    runs = jnp.stack([run_tile, run_base])
+    rt = runs[:, seg] if cap <= 8_000_000 else jnp.stack(
+        [run_tile[seg], run_base[seg]])
+    live = slot < total
+    src = jnp.where(live, rt[0] * tile + (slot - rt[1]), 0)
+    if cap <= 8_000_000 and payload_tiles.shape[0] > 1:
+        out = payload_tiles[:, src]
+    else:
+        out = jnp.stack([payload_tiles[r][src]
+                         for r in range(payload_tiles.shape[0])])
+    return jnp.where(live[None, :], out, 0), total
+
+
+# ---------------------------------------------------------------------------
 # Rebuild: traversal emitting clipped far ranges
 # ---------------------------------------------------------------------------
 
@@ -313,10 +414,33 @@ def _pack_levels(tree, quadrupole, with_acc):
     return packed
 
 
+class CompactEmits(NamedTuple):
+    """Scatter-free traversal emissions (``emit_compact`` mode).
+
+    ``ent``: (2, ΣE) int32 [start; end] body-range rows — per-level dense
+    segments concatenated in level order (static offsets =
+    :func:`_emit_offsets` of the worklist caps); within a level, entries
+    are group-major and per-group runs keep worklist (Morton) order, so
+    the entry sequence per group equals the scatter path's slot order
+    exactly.  ``cnt``: (n_levels, ng) int32 per-level per-group counts.
+    """
+
+    ent: jax.Array
+    cnt: jax.Array
+
+
+def _emit_offsets(wl_caps):
+    """Static level offsets into CompactEmits.ent (tile-rounded caps)."""
+    offs = [0]
+    for c in wl_caps:
+        offs.append(offs[-1] + -(-int(c) // _COMPACT_TILE) * _COMPACT_TILE)
+    return tuple(offs)
+
+
 def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
                      gsz, intervals, list_cap, n_levels, wl_caps,
                      quadrupole=False, with_acc=False, with_ranges=True,
-                     emit_values=True, ablate=()):
+                     emit_values=True, emit_compact=False, ablate=()):
     """Global-worklist traversal: all (group, cell) pairs of one level in
     one flat, group-major list.
 
@@ -365,6 +489,8 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
     """
     if not emit_values:
         assert with_ranges and not quadrupole
+    if emit_compact:
+        assert not emit_values and with_ranges
     levels = tree.levels
     packed_levels = _pack_levels(tree, quadrupole, with_acc)
     theta_sq = theta * theta
@@ -384,9 +510,13 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
     far_cols = ([jnp.zeros((ng * L,), jnp.float32) for _ in range(n_cols)]
                 if emit_values else None)
     # Entry body ranges (refresh machinery; skipped when the caller
-    # can't use refreshes — e.g. the sharded engine).
-    fr_s = jnp.zeros((ng * L,), jnp.int32) if with_ranges else None
-    fr_e = jnp.zeros((ng * L,), jnp.int32) if with_ranges else None
+    # can't use refreshes — e.g. the sharded engine).  Compact mode
+    # collects per-level dense segments instead of (ng*L) slot arrays.
+    slots = with_ranges and not emit_compact
+    fr_s = jnp.zeros((ng * L,), jnp.int32) if slots else None
+    fr_e = jnp.zeros((ng * L,), jnp.int32) if slots else None
+    ent_parts = []          # emit_compact: per-level (2, E_l) dense rows
+    cnt_parts = []          # emit_compact: per-level (ng,) counts
     far_n = jnp.zeros((ng,), jnp.int32)
     sl_start = jnp.zeros((ng * SLIVER_CAP,), jnp.int32)
     sl_end = jnp.zeros((ng * SLIVER_CAP,), jnp.int32)
@@ -507,29 +637,14 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
 
         # Per-group emission ranks from one global cumsum + segment bases
         # (wl_g is sorted, so each group's entries are one contiguous run).
-        seg_start = jnp.searchsorted(wl_g, jnp.arange(ng, dtype=jnp.int32),
-                                     side="left").astype(jnp.int32)
+        seg_all = jnp.searchsorted(
+            wl_g, jnp.arange(ng + 1, dtype=jnp.int32),
+            side="left").astype(jnp.int32)
+        seg_start = seg_all[:ng]
 
-        def scatter_emit(mask, far_cols, fr_s, fr_e, far_n, res_cols):
-            em = mask.astype(jnp.int32)
-            excl = jnp.cumsum(em) - em
-            base = excl[jnp.clip(seg_start, 0, W - 1)]       # (ng,)
-            local = far_n[gidx] + (excl - base[gidx])
-            ok = mask & (local < L - 1)
-            flat = jnp.where(ok, gidx * L + local, ng * L)
-            if emit_values:
-                far_cols = [fc.at[flat].set(v, mode="drop")
-                            for fc, v in zip(far_cols, vals)]
-            if with_ranges:
-                fr_s = fr_s.at[flat].set(cstart, mode="drop")
-                fr_e = fr_e.at[flat].set(cend, mode="drop")
-            else:
-                fr_s = fr_e = None
-            # Overflow folds into the mass-conserving residual.  The
-            # scatters still process all W updates, so gate the whole
-            # thing on overflow actually occurring (it's the rare path).
-            over = mask & ~ok
-
+        def fold_overflow(res_cols, over):
+            # Entries past the per-group cap fold into the
+            # mass-conserving residual; cond-gated by callers (rare).
             def add_residual(res_cols):
                 w = jnp.where(over, cmass, 0.0)
                 res_idx = jnp.where(over, gidx, ng)
@@ -542,12 +657,56 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
                 return [rc.at[res_idx].add(c, mode="drop")
                         for rc, c in zip(res_cols, contribs)]
 
-            res_cols = jax.lax.cond(jnp.any(over), add_residual,
-                                    lambda rs: rs, res_cols)
+            return jax.lax.cond(jnp.any(over), add_residual,
+                                lambda rs: rs, res_cols)
+
+        def gate_cap(mask, far_n):
+            # Per-group cap gating: rank entries within their group via
+            # one global cumsum + segment bases, keep local < L - 1.
+            em = mask.astype(jnp.int32)
+            excl = jnp.cumsum(em) - em
+            base = excl[jnp.clip(seg_start, 0, W - 1)]       # (ng,)
+            local = far_n[gidx] + (excl - base[gidx])
+            ok = mask & (local < L - 1)
+            return ok, local, mask & ~ok
+
+        def scatter_emit(mask, far_cols, fr_s, fr_e, far_n, res_cols):
+            ok, local, over = gate_cap(mask, far_n)
+            flat = jnp.where(ok, gidx * L + local, ng * L)
+            if emit_values:
+                far_cols = [fc.at[flat].set(v, mode="drop")
+                            for fc, v in zip(far_cols, vals)]
+            if with_ranges:
+                fr_s = fr_s.at[flat].set(cstart, mode="drop")
+                fr_e = fr_e.at[flat].set(cend, mode="drop")
+            else:
+                fr_s = fr_e = None
+            res_cols = fold_overflow(res_cols, over)
             counts = jax.ops.segment_sum(ok.astype(jnp.int32), gidx,
                                          num_segments=ng)
             return (far_cols, fr_s, fr_e,
                     jnp.minimum(far_n + counts, L - 1), res_cols)
+
+        def compact_emit(mask, far_n, res_cols):
+            # Scatter-free emission: within-tile compact + dense assembly
+            # (the W-domain column scatters were the largest rebuild
+            # phase — decide21_v2: +562 ms at 1M).
+            ok, _local, over = gate_cap(mask, far_n)
+            res_cols = fold_overflow(res_cols, over)
+            oki = ok.astype(jnp.int32)
+            okc = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                   jnp.cumsum(oki)])
+            bounds_c = okc[jnp.clip(seg_all, 0, W)]
+            counts = bounds_c[1:] - bounds_c[:-1]            # (ng,)
+            E = _emit_offsets(wl_caps[li:li + 1])[1]
+            pad = -(-W // _COMPACT_TILE) * _COMPACT_TILE - W
+            okp = jnp.pad(ok, (0, pad))
+            pays = (jnp.pad(cstart, (0, pad)), jnp.pad(cend, (0, pad)))
+            method = "matmul" if emit_compact == "mm" else "sort"
+            comp, tcnt = _tile_compact(okp, pays, method=method)
+            ent, _tot = _tile_assemble(tcnt, comp, E)
+            return ent, counts, jnp.minimum(far_n + counts, L - 1), \
+                res_cols
 
         def scatter_sliver(mask, s, e, sl_state):
             # Straddling emissions are rare (~(2 + 2K) boundary cuts per
@@ -619,6 +778,11 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
             # Keep the acceptance mask alive without the rank cumsum /
             # column scatters / segment_sum.
             far_n = far_n + jnp.sum(emit_val.astype(jnp.int32))
+        elif emit_compact:
+            ent_l, cnt_l, far_n, res_cols = compact_emit(
+                emit_val, far_n, res_cols)
+            ent_parts.append(ent_l)
+            cnt_parts.append(cnt_l)
         else:
             far_cols, fr_s, fr_e, far_n, res_cols = scatter_emit(
                 emit_val, far_cols, fr_s, fr_e, far_n, res_cols)
@@ -685,15 +849,42 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
         far = jnp.stack(grid, axis=1)                         # (ng, R, L)
     else:
         far = None
-    far_range = (jnp.stack([fr_s.reshape(ng, L), fr_e.reshape(ng, L)],
-                           axis=1)                            # (ng, 2, L)
-                 if with_ranges else None)
+    if emit_compact:
+        far_range = (CompactEmits(ent=jnp.concatenate(ent_parts, axis=1),
+                                  cnt=jnp.stack(cnt_parts))
+                     if ent_parts else None)
+    else:
+        far_range = (jnp.stack([fr_s.reshape(ng, L), fr_e.reshape(ng, L)],
+                               axis=1)                        # (ng, 2, L)
+                     if with_ranges else None)
     res = jnp.stack(res_cols, axis=1)                         # (ng, 7|10)
     # Stacked [fills (n_levels) | pre-clamp demands (n_levels)]: a
     # demand > the level's static cap means coarse folding occurred.
     return (far, far_range, far_n, sl_start.reshape(ng, SLIVER_CAP),
             sl_end.reshape(ng, SLIVER_CAP), sl_n, res,
             jnp.stack(wl_sizes + wl_demand))
+
+
+def _device_hbm_bytes(default: float = 13.0e9) -> float:
+    """Usable HBM of the default device, from the runtime when it says.
+
+    ``memory_stats()['bytes_limit']`` is authoritative where available
+    (so a 95 GB v5p is not clamped to a v5e-sized budget and a smaller
+    part is not oversubscribed); some backends (this image's tunneled
+    v5e included) report nothing — then ``default`` (a measured-safe
+    v5e figure) is used.
+    """
+    try:
+        dev = jax.local_devices()[0]
+        stats = dev.memory_stats() if hasattr(dev, "memory_stats") else None
+        if stats:
+            limit = stats.get("bytes_limit") or stats.get(
+                "bytes_reservable_limit")
+            if limit:
+                return float(limit)
+    except Exception:  # pragma: no cover - backend-specific
+        pass
+    return float(default)
 
 
 def _auto_budget(npad: int) -> int:
@@ -893,9 +1084,12 @@ def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
     # scale).  Quadrupole and rangeless (sharded) builds must emit
     # values (see _traverse_global).
     kernel_mode = emit_mode in ("kernel", "kernel-strict")
+    compact_mode = (emit_mode in ("compact", "compact-mm") and with_ranges
+                    and not quadrupole and bool(pool_tile))
     emit_ranges = (with_ranges and not quadrupole
                    and (emit_mode == "ranges"
                         or (emit_mode == "auto" and bool(pool_tile))
+                        or compact_mode
                         or kernel_mode))
     from spatialsim_tpu.ops.bh_traverse_kernel import kernel_feasible
     use_tkernel = (kernel_mode and emit_ranges
@@ -953,7 +1147,17 @@ def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
                 intervals=intervals, list_cap=list_cap,
                 n_levels=n_levels, wl_caps=wl_caps,
                 quadrupole=quadrupole, with_acc=acc is not None,
-                with_ranges=with_ranges, emit_values=not emit_ranges)
+                with_ranges=with_ranges, emit_values=not emit_ranges,
+                emit_compact=(("mm" if emit_mode == "compact-mm" else True)
+                              if compact_mode else False))
+    if compact_mode:
+        cap = pool_cap_tiles(budget, ng, pool_tile, npad,
+                             caps_total=sum(wl_caps) if explicit_caps else 0)
+        return _finish_pool_compact(
+            far_range, far_n, sl_start, sl_end, sl_n, res,
+            s_pos, s_vel, s_mass, order, order_pad, pos, n, list_cap,
+            tile=pool_tile, cap_tiles=cap,
+            emit_offsets=_emit_offsets(wl_caps), s_acc=s_acc, near=near)
     if pool_tile and emit_ranges:
         cap = pool_cap_tiles(budget, ng, pool_tile, npad,
                              caps_total=sum(wl_caps) if explicit_caps else 0)
@@ -1391,6 +1595,180 @@ def _finish_pool_ranges(far_range, far_n, sl_start, sl_end, sl_n, res,
     t_of = jnp.where(has_res, pstart + rslot // tile, cap_tiles)
     pool = pool.at[t_of, :, rslot % tile].set(
         jnp.stack(res_rows, axis=1), mode="drop")        # (ng, 16)
+
+    inv_order = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    if near is None:
+        near = jnp.zeros((ng, 0), jnp.int32)
+    return BHLists(order=order_pad, inv_order=inv_order,
+                   far=None, far_n=far_n_tot,
+                   ref_pos=pos, steps_since=jnp.int32(0), near=near,
+                   far_range=None, steps_build=jnp.int32(0),
+                   pool=pool, pstart=pstart)
+
+
+def _finish_pool_compact(emits, far_n, sl_start, sl_end, sl_n, res,
+                         s_pos, s_vel, s_mass, order, order_pad, pos, n,
+                         list_cap, *, tile, cap_tiles, emit_offsets,
+                         s_acc=None, near=None):
+    """Compact-emission finish: straight into the tile pool, scatter-free.
+
+    Same contract (and bit-identical pool) as :func:`_finish_pool_ranges`,
+    but the traversal's entries arrive as per-level dense segments
+    (:class:`CompactEmits`) instead of (ng, 2, L) slot arrays — the
+    (ng*L) intermediates and every slot scatter disappear from the
+    rebuild.  Slivers join as one more per-group-padded source segment.
+    Pool-slot decoding costs per-TILE gathers of a small per-group
+    cumulative table plus ≤ n_seg dense selects per slot.
+    """
+    ng = far_n.shape[0]
+    L = list_cap
+    with_acc = s_acc is not None
+    n_pref = 10 if with_acc else 7
+    n_levels = emits.cnt.shape[0]
+    n_seg = n_levels + 1
+
+    w = s_mass[None, :]
+    cols = [s_mass[None, :], s_pos * w, s_vel * w]
+    if with_acc:
+        cols.append(s_acc * w)
+    pref = _comp_prefix(jnp.concatenate(cols, axis=0))   # (2P, npad+1)
+
+    # Sliver acceptance: the k-th sliver of a group fits iff
+    # far_n + k < L - 1 (slot L-1 reserved for the residual) — the same
+    # positional prefix rule as the slot path's append.
+    k = jnp.arange(SLIVER_CAP, dtype=jnp.int32)[None, :]
+    take = k < sl_n[:, None]
+    fits = take & (far_n[:, None] + k < L - 1)
+    sl_cnt = jnp.sum(fits.astype(jnp.int32), axis=1)
+    over = take & ~fits
+
+    def fold(res):
+        seg_sl = _comp_seg(pref, sl_start, sl_end)       # (P, ng, SC)
+        om = jnp.where(over, 1.0, 0.0)
+        return res + jnp.stack(
+            [jnp.sum(seg_sl[i] * om, axis=1) for i in range(n_pref)],
+            axis=1)
+    res = jax.lax.cond(jnp.any(over), fold, lambda r: r, res)
+    far_n = far_n + sl_cnt
+
+    # Per-group cumulative segment table (levels then slivers) and the
+    # per-segment source bases into the concatenated source rows.
+    cnt_seg = jnp.concatenate([emits.cnt, sl_cnt[None, :]], axis=0)
+    Bt = jnp.concatenate([jnp.zeros((1, ng), jnp.int32),
+                          jnp.cumsum(cnt_seg, axis=0)])   # (n_seg+1, ng)
+    lgs = jnp.cumsum(emits.cnt, axis=1) - emits.cnt       # (n_levels, ng)
+    offs = jnp.asarray(emit_offsets[:n_levels], jnp.int32)[:, None]
+    sl_base = (emit_offsets[n_levels]
+               + SLIVER_CAP * jnp.arange(ng, dtype=jnp.int32))[None, :]
+    src_base = jnp.concatenate([offs + lgs, sl_base])     # (n_seg, ng)
+    src_rows = jnp.concatenate(
+        [emits.ent, jnp.stack([sl_start.reshape(-1),
+                               sl_end.reshape(-1)])], axis=1)
+    src_rows = jnp.pad(src_rows, ((0, 0), (0, 1)))        # fs = fe = 0
+    ZERO_SRC = src_rows.shape[1] - 1
+
+    # Pool-capacity guard (same semantics as _finish_pool_ranges): a
+    # group whose tiles would start past the cap folds its whole list —
+    # levels AND slivers — into the residual.  Rare path under cond;
+    # per-entry group ids come from the per-level group starts.
+    tiles_try = (far_n + 1 + tile - 1) // tile            # +1: residual
+    start_try = jnp.cumsum(tiles_try) - tiles_try
+    unfit = start_try + tiles_try > cap_tiles - ng
+
+    def fold_groups(args):
+        res, far_n = args
+        adds = jnp.zeros((ng, n_pref), jnp.float32)
+        for s in range(n_levels):
+            E = emit_offsets[s + 1] - emit_offsets[s]
+            seg_ent = jax.lax.dynamic_slice_in_dim(
+                src_rows, emit_offsets[s], E, axis=1)
+            p = jnp.arange(E, dtype=jnp.int32)
+            gsrc = (jnp.searchsorted(lgs[s], p, side="right") - 1
+                    ).astype(jnp.int32)
+            gsrc = jnp.clip(gsrc, 0, ng - 1)
+            segm = _comp_seg(pref, seg_ent[0], seg_ent[1])   # (P, E)
+            em = jnp.where(unfit[gsrc], 1.0, 0.0)
+            gseg = jnp.where(unfit[gsrc], gsrc, ng)
+            adds = adds + jnp.stack(
+                [jax.ops.segment_sum(segm[i] * em, gseg,
+                                     num_segments=ng)
+                 for i in range(n_pref)], axis=1)
+        seg_sl = _comp_seg(pref, sl_start, sl_end)
+        om = jnp.where(fits & unfit[:, None], 1.0, 0.0)
+        adds = adds + jnp.stack(
+            [jnp.sum(seg_sl[i] * om, axis=1) for i in range(n_pref)],
+            axis=1)
+        return res + adds, jnp.where(unfit, 0, far_n)
+
+    res, far_n = jax.lax.cond(jnp.any(unfit), fold_groups,
+                              lambda a: a, (res, far_n))
+
+    res_m = res[:, 0]
+    has_res = res_m > 0
+    far_n_tot = far_n + has_res.astype(jnp.int32)
+
+    # --- pool assembly ---
+    tiles_g = (far_n_tot + tile - 1) // tile
+    pstart = (jnp.cumsum(tiles_g) - tiles_g).astype(jnp.int32)
+    t_idx = jnp.arange(cap_tiles, dtype=jnp.int32)
+    g_of = (jnp.searchsorted(pstart, t_idx, side="right") - 1).astype(
+        jnp.int32)
+    g_c = jnp.clip(g_of, 0, ng - 1)
+    k_of = t_idx - pstart[g_c]
+    ent_i = k_of[:, None] * tile + jnp.arange(tile, dtype=jnp.int32)[None]
+    valid = ((t_idx < jnp.sum(tiles_g))[:, None]
+             & (ent_i < far_n_tot[g_c][:, None]))
+    is_res = valid & has_res[g_c][:, None] & (
+        ent_i == (far_n_tot[g_c] - 1)[:, None])
+    is_rng = valid & ~is_res
+
+    # Decode each pool slot's (segment, source index): per-TILE gathers
+    # of the cumulative tables (cap_tiles-sized — thousands, not
+    # millions), then dense compare/select chains over the slots.
+    Bg = Bt[:, g_c]                                       # (n_seg+1, ct)
+    Sg = src_base[:, g_c]                                 # (n_seg, ct)
+    seg_id = jnp.zeros(ent_i.shape, jnp.int32)
+    for s in range(1, n_seg):
+        seg_id = seg_id + (ent_i >= Bg[s][:, None]).astype(jnp.int32)
+    src = jnp.full(ent_i.shape, ZERO_SRC, jnp.int32)
+    for s in range(n_seg):
+        sel = is_rng & (seg_id == s)
+        src = jnp.where(sel, Sg[s][:, None] + (ent_i - Bg[s][:, None]),
+                        src)
+    idx = jnp.where(is_rng, src, ZERO_SRC).reshape(-1)
+
+    fsel = src_rows[:, idx]                               # one packed gather
+    fs_p, fe_p = fsel[0], fsel[1]
+    seg = _comp_seg(pref, fs_p, fe_p)                     # 2 packed gathers
+    m = seg[0]
+    inv = jnp.where(m > 0, 1.0 / jnp.maximum(m, 1e-30), 0.0)
+    zero = jnp.zeros_like(m)
+    rows = [seg[1] * inv, seg[2] * inv, seg[3] * inv,
+            seg[4] * inv, seg[5] * inv, seg[6] * inv, m]
+    rows += ([seg[7] * inv, seg[8] * inv, seg[9] * inv] if with_acc
+             else [zero] * 3)
+    rows += [(fs_p >> 16).astype(jnp.float32),
+             (fs_p & 0xFFFF).astype(jnp.float32),
+             (fe_p >> 16).astype(jnp.float32),
+             (fe_p & 0xFFFF).astype(jnp.float32),
+             zero, zero]
+    pool = jnp.stack(rows).reshape(POOL_ROWS, cap_tiles, tile).transpose(
+        1, 0, 2)
+
+    # Residual values (fs = fe = 0 -> refresh REBASES them, like dense).
+    inv_m = jnp.where(has_res, 1.0 / jnp.maximum(res_m, 1e-30), 0.0)
+    zg = jnp.zeros((ng,), jnp.float32)
+    res_rows = [res[:, 1] * inv_m, res[:, 2] * inv_m, res[:, 3] * inv_m,
+                res[:, 4] * inv_m, res[:, 5] * inv_m, res[:, 6] * inv_m,
+                res_m]
+    res_rows += ([res[:, 7] * inv_m, res[:, 8] * inv_m, res[:, 9] * inv_m]
+                 if with_acc else [zg] * 3)
+    res_rows += [zg] * (POOL_ROWS - len(res_rows))
+    rslot = jnp.maximum(far_n_tot - 1, 0)
+    t_of = jnp.where(has_res, pstart + rslot // tile, cap_tiles)
+    pool = pool.at[t_of, :, rslot % tile].set(
+        jnp.stack(res_rows, axis=1), mode="drop")         # (ng, 16)
 
     inv_order = jnp.zeros((n,), jnp.int32).at[order].set(
         jnp.arange(n, dtype=jnp.int32))
@@ -2258,8 +2636,10 @@ def calibrate_config(config, pos, vel, mass, rounds=3, headroom=1.5):
     # the least accuracy-critical (leaf-scale folds), so the ceiling
     # clamps them while the shallow clamps — the measured source of the
     # rms-0.9 tail — are granted in full (their demand is ~100x
-    # smaller).
-    usable = 13.0e9 - 120.0 * n
+    # smaller).  The HBM size comes from the device itself
+    # (memory_stats) so a 95 GB v5p is not clamped to a v5e's budget;
+    # 13 GB is only the fallback when the runtime reports nothing.
+    usable = _device_hbm_bytes() - 120.0 * n
     lvl_ceil = int(max(8_000_000, usable * 0.25 / 200.0))
     HARD_CEIL = min(48_000_000, lvl_ceil)
     caps = list(defaults)
@@ -2273,7 +2653,6 @@ def calibrate_config(config, pos, vel, mass, rounds=3, headroom=1.5):
                    for li in range(n_levels)]
         if not any(clamped):
             break
-        grown = True
         new = []
         for li in range(n_levels):
             exact = ng * level_capacity(li + 2, npad)
@@ -2284,6 +2663,13 @@ def calibrate_config(config, pos, vel, mass, rounds=3, headroom=1.5):
             new.append(int(max(caps[li],
                                min(max(tgt, ng * 8), exact, HARD_CEIL))))
         new[0] = max(new[0], ng * level_capacity(2, npad))
+        if new == caps:
+            # A level can stay "clamped" (demand > cap) while its growth
+            # is bound by the 8x-parent chain — without this break the
+            # loop would burn every remaining round (each a full probe
+            # build, ~minutes at 10M) making no progress.
+            break
+        grown = True
         caps = new
     if not grown:
         return config

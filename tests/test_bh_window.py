@@ -811,3 +811,74 @@ def test_pool_overflow_folds_groups_to_residual(rng, monkeypatch):
         mgr = group_mass(ref_pool, ref_ps, fn_ref, g)
         assert abs(mg - mgr) <= 1e-2 + 1e-3 * abs(mgr), (
             f"group {g}: far mass {mg} vs {mgr}")
+
+
+@pytest.mark.parametrize("mode", ["compact", "compact-mm"])
+def test_compact_emission_pool_bitexact(rng, mode):
+    """Scatter-free compact emission builds the IDENTICAL pool.
+
+    The compact path (_tile_compact / _tile_assemble /
+    _finish_pool_compact) replaces every W-domain emission scatter of the
+    ranges path — same entries, same per-group order (level-major,
+    worklist order within a level), same folds — so the assembled pool
+    must be bit-exact, not merely close.  Covers order-2 acc rows,
+    per-group list_cap overflow -> residual folds, and slivers.
+    """
+    from spatialsim_tpu.ops.bh_window import build_lists
+    n = 12000
+    p, v, m = distributions.generate_distribution(
+        "cluster", n, 200.0, 0.1, seed=5)
+    pos = jnp.asarray(p.T, jnp.float32)
+    vel = jnp.asarray(v.T, jnp.float32)
+    mass = jnp.asarray(m, jnp.float32)
+    acc = jnp.asarray(rng.standard_normal((3, n)) * 0.1, jnp.float32)
+    kw = dict(theta=0.6, softening=2.0, skin=2.0, max_depth=7,
+              group_size=128, window_groups=2, list_cap=256,
+              pool_tile=128, with_ranges=True)
+    ref = build_lists(pos, vel, mass, acc, emit_mode="ranges", **kw)
+    got = build_lists(pos, vel, mass, acc, emit_mode=mode, **kw)
+    assert int(jnp.max(ref.far_n)) >= kw["list_cap"] - 1, \
+        "config should force at least one overflow fold"
+    np.testing.assert_array_equal(np.asarray(ref.far_n),
+                                  np.asarray(got.far_n))
+    np.testing.assert_array_equal(np.asarray(ref.pstart),
+                                  np.asarray(got.pstart))
+    np.testing.assert_array_equal(np.asarray(ref.pool),
+                                  np.asarray(got.pool))
+
+
+def test_compact_emission_unfit_group_fold_matches(rng):
+    """Pool-capacity (whole-group) folds match the ranges path."""
+    from spatialsim_tpu.ops.bh_window import build_lists
+    n = 12000
+    p, v, m = distributions.generate_distribution(
+        "cluster", n, 200.0, 0.1, seed=7)
+    pos = jnp.asarray(p.T, jnp.float32)
+    vel = jnp.asarray(v.T, jnp.float32)
+    mass = jnp.asarray(m, jnp.float32)
+    kw = dict(theta=0.7, softening=2.0, skin=2.0, max_depth=7,
+              group_size=128, window_groups=2, list_cap=512,
+              pool_tile=64, with_ranges=True)
+    # Force the cumulative capacity guard with a tiny explicit budget.
+    import spatialsim_tpu.ops.bh_window as bw
+    ng = -(-n // kw["group_size"])
+    cap = 40 + ng + 1
+
+    def build(mode):
+        orig = bw.pool_cap_tiles
+        bw.pool_cap_tiles = lambda *a, **k: cap
+        try:
+            return build_lists(pos, vel, mass, emit_mode=mode, **kw)
+        finally:
+            bw.pool_cap_tiles = orig
+
+    ref = build("ranges")
+    got = build("compact")
+    fn_ref = np.asarray(ref.far_n)
+    assert (fn_ref == 1).any(), "cap should force whole-group folds"
+    np.testing.assert_array_equal(fn_ref, np.asarray(got.far_n))
+    # The fold's moment sums run in a different (but fixed) association
+    # order (per-level segment sums vs the ranges path's chunked loop),
+    # so the folded residual values agree to f32 rounding, not bit-exact.
+    np.testing.assert_allclose(np.asarray(ref.pool),
+                               np.asarray(got.pool), rtol=2e-5, atol=2e-3)

@@ -211,13 +211,20 @@ def test_frozen_orders_capture_survives_resort_interval():
               alignment_weight=cfg.alignment_weight,
               cohesion_weight=cfg.cohesion_weight,
               max_speed=cfg.max_speed, max_force=cfg.max_force)
+    # Exercise the PRODUCTION pass-2 width (config default 1, narrower
+    # than the op default 0 = full window) — interval-end drift gives a
+    # narrow pass-2 far less slack than a fresh sort, so the staleness
+    # bar must hold at the shipped width, not the widest one.
     _, _, nb_stale = flocking_forces_window_frozen(
         st.pos, st.vel, st.col, st.p21, st.s21, group_size=128,
-        window_groups=2, return_counts=True, **kw)
+        window_groups=2, pass2_window_groups=cfg.pass2_window_groups,
+        return_counts=True, **kw)
     fresh = init_boids_window_state(st.pos, st.vel, st.col, cfg)
     _, _, nb_fresh = flocking_forces_window_frozen(
         fresh.pos, fresh.vel, fresh.col, fresh.p21, fresh.s21,
-        group_size=128, window_groups=2, return_counts=True, **kw)
+        group_size=128, window_groups=2,
+        pass2_window_groups=cfg.pass2_window_groups,
+        return_counts=True, **kw)
     captured = float(jnp.sum(nb_stale)) / max(float(jnp.sum(nb_fresh)), 1.0)
     assert captured >= 0.99, captured
 
