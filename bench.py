@@ -183,8 +183,8 @@ def main(argv=None) -> int:
                    help="moment-refresh cadence between rebuilds (0 off)")
     p.add_argument("--drift-mode", choices=["max", "off"], default="off")
     p.add_argument("--emit-mode", default="auto",
-                   choices=["auto", "values", "ranges", "kernel",
-                            "kernel-strict"],
+                   choices=["auto", "values", "ranges", "compact",
+                            "compact-mm"],
                    help="traversal emission mode (config.traversal_emit)")
     p.add_argument("--pool-tile", type=int, default=-1,
                    help="far-list pool tile (-1 = config default)")

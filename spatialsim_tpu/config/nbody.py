@@ -149,6 +149,16 @@ class NBodyConfig:
     # ops.bh_window.calibrate_config from a demand probe on the actual
     # initial conditions; () = budget-derived defaults.
     wl_caps: tuple = ()
+    # Explicit per-level octree slot counts (index level - start_level).
+    # The default min(8^d, n) is safe but loose — at 1M bodies the two
+    # deepest levels carry ~1M static slots each against 37K/169K
+    # occupied cells, and every octree pooling pass and attribute-table
+    # pack pays the full static width.  Set by
+    # ops.bh_window.calibrate_config from a one-time occupancy count on
+    # the actual initial conditions (x2 drift headroom); overflow during
+    # a run degrades gracefully to coarser monopole emissions
+    # (ops/octree.build_octree), never UB.  () = full capacities.
+    tree_caps: tuple = ()
     # Far-list tile-pool compaction (ops/bh_window.build_pool): tile
     # size in entries, 0 = dense (ng, R, L) layout.  The pool stores
     # only ~ceil(far_n/tile) tiles per group — ~4-5x less far HBM and
@@ -166,12 +176,15 @@ class NBodyConfig:
     # scatters only the (start, end) body range (2 int32 columns) and
     # re-materializes moments from prefix sums at finish — with the pool
     # on, straight into the pool, so the dense (ng, R, L) transient
-    # never exists (the enabler for pooled EXTREME scales).  "kernel"
-    # additionally replaces the whole XLA worklist traversal with the
-    # sequential in-VMEM Pallas DFS (ops/bh_traverse_kernel.py; <= 2M
-    # bodies, near_groups 0; the XLA path stays in-graph as the
-    # overflow fallback).  "auto" = ranges exactly when the pool is on.
-    # Quadrupole and the sharded (rangeless) build always emit values.
+    # never exists (the enabler for pooled EXTREME scales).  "compact"
+    # replaces the per-level emission scatters with the scatter-free
+    # within-tile compaction + dense assembly ("compact-mm" = the
+    # one-hot MXU variant); identical pools, A/B'd on chip in
+    # scripts/decide23.py.  "auto" = ranges exactly when the pool is
+    # on.  Quadrupole and the sharded (rangeless) build always emit
+    # values.  (A Pallas DFS traversal mode "kernel" existed in rounds
+    # 3-4; deleted — slower than the XLA path on chip and wrong on real
+    # TPU, docs/measurements_r4/decide17_1m.log.)
     traversal_emit: str = "auto"
 
     # dt cap applied inside the simulation step (reference simulation.py:802).

@@ -625,8 +625,14 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
         dmin_sq = jnp.sum(gap * gap, axis=0) + soft_sq
         theta_ok = side * side < theta_sq * dmin_sq
 
-        emit_val = outside & (theta_ok | (ccount <= 1))
-        emit_sl = straddle & (ccount <= 1)
+        # A multi-body cell with NO children is unopenable — normally
+        # impossible before the last level, but occupancy-capped trees
+        # (ops/octree.build_octree level_caps) produce them when a level
+        # overflows (the merged-tail guard zeroes child_count).  Opening
+        # one would expand into nothing and silently drop its mass.
+        childless = ci[3] == 0
+        emit_val = outside & (theta_ok | (ccount <= 1) | childless)
+        emit_sl = straddle & ((ccount <= 1) | childless)
         if last:
             emit_val = emit_val | (outside & ~emit_val)
             emit_sl = emit_sl | (straddle & ~emit_sl)
@@ -943,12 +949,13 @@ def _default_wl_caps(ng: int, n_levels: int, budget: int, c0: int = 64):
     static_argnames=("theta", "softening", "skin", "max_depth", "group_size",
                      "window_groups", "list_cap", "worklist_budget",
                      "n_groups", "quadrupole", "near_groups",
-                     "with_ranges", "pool_tile", "emit_mode", "wl_caps"))
+                     "with_ranges", "pool_tile", "emit_mode", "wl_caps",
+                     "tree_caps"))
 def build_lists(pos, vel, mass, acc=None, *, theta, softening, skin=4.0,
                 max_depth=10, group_size=256, window_groups=3, list_cap=2048,
                 worklist_budget=0, group_offset=0, n_groups=None,
                 quadrupole=False, near_groups=0, with_ranges=True,
-                pool_tile=0, emit_mode="auto", wl_caps=()):
+                pool_tile=0, emit_mode="auto", wl_caps=(), tree_caps=()):
     """Morton-sort + octree + global-worklist traversal -> :class:`BHLists`.
 
     The traversal visits all (group, cell) pairs of one octree level in a
@@ -989,7 +996,8 @@ def build_lists(pos, vel, mass, acc=None, *, theta, softening, skin=4.0,
         worklist_budget=worklist_budget, group_offset=group_offset,
         n_groups=n_groups, quadrupole=quadrupole,
         near_groups=near_groups, with_ranges=with_ranges,
-        pool_tile=pool_tile, emit_mode=emit_mode, wl_caps=wl_caps)
+        pool_tile=pool_tile, emit_mode=emit_mode, wl_caps=wl_caps,
+        tree_caps=tree_caps)
 
 
 @functools.partial(
@@ -998,13 +1006,13 @@ def build_lists(pos, vel, mass, acc=None, *, theta, softening, skin=4.0,
                      "group_size", "window_groups", "list_cap",
                      "worklist_budget", "n_groups", "quadrupole",
                      "near_groups", "with_ranges", "pool_tile",
-                     "emit_mode", "wl_caps"))
+                     "emit_mode", "wl_caps", "tree_caps"))
 def build_lists_sorted(s_pos, s_vel, s_mass, s_acc=None, *, order, theta,
                        softening, skin=4.0, max_depth=10, group_size=256,
                        window_groups=3, list_cap=2048, worklist_budget=0,
                        group_offset=0, n_groups=None, quadrupole=False,
                        near_groups=0, with_ranges=True, pool_tile=0,
-                       emit_mode="auto", wl_caps=()):
+                       emit_mode="auto", wl_caps=(), tree_caps=()):
     """:func:`build_lists` for ALREADY globally Morton-sorted state.
 
     Entry point for the distributed rebuild
@@ -1027,7 +1035,8 @@ def build_lists_sorted(s_pos, s_vel, s_mass, s_acc=None, *, order, theta,
         worklist_budget=worklist_budget, group_offset=group_offset,
         n_groups=n_groups, quadrupole=quadrupole,
         near_groups=near_groups, with_ranges=with_ranges,
-        pool_tile=pool_tile, emit_mode=emit_mode, wl_caps=wl_caps)
+        pool_tile=pool_tile, emit_mode=emit_mode, wl_caps=wl_caps,
+        tree_caps=tree_caps)
 
 
 def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
@@ -1035,14 +1044,15 @@ def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
                        max_depth, group_size, window_groups, list_cap,
                        worklist_budget, group_offset, n_groups,
                        quadrupole, near_groups, with_ranges, pool_tile,
-                       emit_mode="auto", wl_caps=()):
+                       emit_mode="auto", wl_caps=(), tree_caps=()):
     gsz = group_size
     npad = s_pos.shape[1]
     acc = s_acc
 
     tree = build_octree(s_codes, s_pos, s_mass, half, max_depth=max_depth,
                         start_level=2, n=npad, sorted_vel=s_vel,
-                        sorted_acc=s_acc, with_quadrupole=quadrupole)
+                        sorted_acc=s_acc, with_quadrupole=quadrupole,
+                        level_caps=tuple(tree_caps or ()))
     n_levels = len(tree.levels)
 
     ng_total = npad // gsz
@@ -1083,73 +1093,28 @@ def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
     # dense (ng, R, L) transient never exists (required at EXTREME
     # scale).  Quadrupole and rangeless (sharded) builds must emit
     # values (see _traverse_global).
-    kernel_mode = emit_mode in ("kernel", "kernel-strict")
+    # (A sequential in-VMEM Pallas DFS traversal — emit_mode "kernel" —
+    # was built and measured in rounds 3-4: 3,077 ms vs the XLA path's
+    # 1,757 ms at 1M AND a 7/256-group range-set divergence on real TPU
+    # that interpret-mode tests could not see (decide17_1m.log).  Deleted
+    # in round 5 per the fix-or-delete bar; the scatter-free compact
+    # emission above is the surviving successor.)
     compact_mode = (emit_mode in ("compact", "compact-mm") and with_ranges
                     and not quadrupole and bool(pool_tile))
     emit_ranges = (with_ranges and not quadrupole
                    and (emit_mode == "ranges"
                         or (emit_mode == "auto" and bool(pool_tile))
-                        or compact_mode
-                        or kernel_mode))
-    from spatialsim_tpu.ops.bh_traverse_kernel import kernel_feasible
-    use_tkernel = (kernel_mode and emit_ranges
-                   and near_groups == 0 and kernel_feasible(npad))
-    if use_tkernel:
-        # Sequential in-VMEM DFS kernel (ops/bh_traverse_kernel.py):
-        # visits cost ~one packed row read instead of the XLA path's
-        # per-worklist-slot gathers/scatters.  The XLA traversal stays
-        # in-graph as the lax.cond fallback for table/list overflow
-        # (f32-exactness and VMEM residency bound it to <= 2M bodies).
-        from spatialsim_tpu.ops.bh_traverse_kernel import (
-            auto_cell_cap, pack_tree_table, pallas_traverse_ranges)
-        table, root_n, okc = pack_tree_table(
-            tree, auto_cell_cap(npad))
-        fr_k, farn_k, okk = pallas_traverse_ranges(
-            table, root_n, bbox_min, bbox_max, list_cap=list_cap,
-            group_size=gsz, window_groups=window_groups,
-            theta=float(theta), softening=float(softening),
-            skin=float(skin), group_offset=group_offset)
-        n_res = 10 if acc is not None else 7
-
-        def via_kernel(_):
-            return (fr_k, farn_k,
-                    jnp.zeros((ng, SLIVER_CAP), jnp.int32),
-                    jnp.zeros((ng, SLIVER_CAP), jnp.int32),
-                    jnp.zeros((ng,), jnp.int32),
-                    jnp.zeros((ng, n_res), jnp.float32))
-
-        def via_xla(_):
-            _f, frx, fnx, sls, sle, sln, resx, _wl = _traverse_global(
-                tree, bbox_min, bbox_max, ng, theta=float(theta),
-                soft_sq=float(softening) ** 2, skin=float(skin),
-                gsz=gsz, intervals=intervals, list_cap=list_cap,
-                n_levels=n_levels, wl_caps=wl_caps,
-                quadrupole=False, with_acc=acc is not None,
-                with_ranges=True, emit_values=False)
-            return frx, fnx, sls, sle, sln, resx
-
-        if emit_mode == "kernel-strict":
-            # No in-graph fallback (halves the rebuild program size for
-            # the remote compiler); table/list overflow degrades to the
-            # kernel's coarse-fold + truncation instead.  auto_cell_cap
-            # and list sizing make that regime rare by construction.
-            (far_range, far_n, sl_start, sl_end, sl_n,
-             res) = via_kernel(None)
-        else:
-            far_range, far_n, sl_start, sl_end, sl_n, res = jax.lax.cond(
-                okc & okk, via_kernel, via_xla, None)
-        far = None
-    else:
-        far, far_range, far_n, sl_start, sl_end, sl_n, res, _wl = \
-            _traverse_global(
-                tree, bbox_min, bbox_max, ng, theta=float(theta),
-                soft_sq=float(softening) ** 2, skin=float(skin), gsz=gsz,
-                intervals=intervals, list_cap=list_cap,
-                n_levels=n_levels, wl_caps=wl_caps,
-                quadrupole=quadrupole, with_acc=acc is not None,
-                with_ranges=with_ranges, emit_values=not emit_ranges,
-                emit_compact=(("mm" if emit_mode == "compact-mm" else True)
-                              if compact_mode else False))
+                        or compact_mode))
+    far, far_range, far_n, sl_start, sl_end, sl_n, res, _wl = \
+        _traverse_global(
+            tree, bbox_min, bbox_max, ng, theta=float(theta),
+            soft_sq=float(softening) ** 2, skin=float(skin), gsz=gsz,
+            intervals=intervals, list_cap=list_cap,
+            n_levels=n_levels, wl_caps=wl_caps,
+            quadrupole=quadrupole, with_acc=acc is not None,
+            with_ranges=with_ranges, emit_values=not emit_ranges,
+            emit_compact=(("mm" if emit_mode == "compact-mm" else True)
+                          if compact_mode else False))
     if compact_mode:
         cap = pool_cap_tiles(budget, ng, pool_tile, npad,
                              caps_total=sum(wl_caps) if explicit_caps else 0)
@@ -2216,7 +2181,8 @@ def _build_kw(config):
                                  or not getattr(config,
                                                 "use_pallas_eval", True))
                            else getattr(config, "pool_tile", 0)),
-                emit_mode=getattr(config, "traversal_emit", "auto"))
+                emit_mode=getattr(config, "traversal_emit", "auto"),
+                tree_caps=tuple(getattr(config, "tree_caps", ()) or ()))
 
 
 # Above this body count the step splits into two device programs with the
@@ -2555,6 +2521,47 @@ def build_diagnostics(pos, vel, mass, config):
     }
 
 
+def _measure_tree_caps(config, pos, headroom=2.0):
+    """One-time per-level occupancy count -> tight static tree caps.
+
+    The octree's default slot counts are ``min(8^d, n)`` per level —
+    safe, but the two deepest levels then carry ~n slots each against
+    a few percent occupancy (1M galaxy depth 8: 37K/169K occupied of 1M
+    slots), and every pooling pass, attribute pack and packed gather
+    table pays the full static width (~250 ms of the 1M rebuild).  One
+    sorted-prefix count per level on the actual initial conditions
+    prices the real occupancy; ``headroom`` (2x) absorbs density drift
+    over the run, and overflow beyond it degrades gracefully
+    (ops/octree.build_octree docstring) rather than crashing.
+    """
+    import numpy as np
+    kw = _build_kw(config)
+    max_depth = kw["max_depth"]
+    gsz = kw["group_size"]
+    n = pos.shape[1]
+    npad = ((n + gsz - 1) // gsz) * gsz
+    n_levels = max_depth - 2 + 1
+    from spatialsim_tpu.ops.octree import level_capacity
+
+    @jax.jit
+    def occ(pos):
+        half = compute_bounds(pos)
+        codes = jnp.sort(morton_encode(pos, half, max_depth))
+        outs = []
+        for li in range(n_levels):
+            c = codes >> (3 * (max_depth - (2 + li)))
+            outs.append(1 + jnp.sum((c[1:] != c[:-1]).astype(jnp.int32)))
+        return jnp.stack(outs)
+
+    occs = np.asarray(occ(pos))
+    caps = []
+    for li in range(n_levels):
+        full = level_capacity(2 + li, npad)
+        want = int(occs[li] * headroom) + 1024
+        caps.append(int(min(full, -(-want // 1024) * 1024)))
+    return tuple(caps)
+
+
 def calibrate_config(config, pos, vel, mass, rounds=3, headroom=1.5):
     """Demand-calibrate per-level worklist caps on real initial conditions.
 
@@ -2580,6 +2587,8 @@ def calibrate_config(config, pos, vel, mass, rounds=3, headroom=1.5):
     from spatialsim_tpu.config.nbody import resolve_config
     from spatialsim_tpu.ops.octree import level_capacity
     config = resolve_config(config, pos.shape[1])
+    if not getattr(config, "tree_caps", ()):
+        config = config.replace(tree_caps=_measure_tree_caps(config, pos))
     if getattr(config, "wl_caps", ()):
         return config
     kw = _build_kw(config)
@@ -2609,7 +2618,8 @@ def calibrate_config(config, pos, vel, mass, rounds=3, headroom=1.5):
             s_mass = jnp.where(pad_mask, 0.0, mass[order_pad])
             tree = build_octree(s_codes, s_pos, s_mass, half,
                                 max_depth=max_depth, start_level=2,
-                                n=npad)
+                                n=npad,
+                                level_caps=tuple(kw.get("tree_caps", ())))
             gpos = s_pos.reshape(3, ng, gsz)
             bbox_min = jnp.min(gpos, axis=2).T
             bbox_max = jnp.max(gpos, axis=2).T

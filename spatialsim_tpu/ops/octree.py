@@ -103,10 +103,11 @@ def _outer6(d):
 
 
 @functools.partial(jax.jit, static_argnames=("max_depth", "start_level", "n",
-                                             "with_quadrupole"))
+                                             "with_quadrupole",
+                                             "level_caps"))
 def build_octree(sorted_codes, sorted_pos, sorted_mass, half, *,
                  max_depth, start_level=2, n=None, sorted_vel=None,
-                 sorted_acc=None, with_quadrupole=False):
+                 sorted_acc=None, with_quadrupole=False, level_caps=()):
     """Build all levels from Morton-sorted bodies.
 
     Args:
@@ -122,6 +123,17 @@ def build_octree(sorted_codes, sorted_pos, sorted_mass, half, *,
         cells ballistically in ops/bh_window.py).
       sorted_acc: optional ``(3, N)`` accelerations — when given, cells
         carry the mean acceleration too (second-order entry advance).
+      level_caps: optional static per-level slot counts, index
+        ``level - start_level`` — occupancy-calibrated TIGHT caps
+        (bh_window.calibrate_config).  The default ``min(8^d, N)`` is
+        safe but loose: at 1M bodies the two deepest levels carry ~1M
+        slots each against ~37K/169K occupied cells, and every
+        build/pool pass pays the full static width.  Overflow (more
+        occupied cells than slots) degrades gracefully, never UB: tail
+        cells merge into the cap's last slot (mass-conserving), and a
+        parent whose child run touches that merged slot reports ZERO
+        children, so the traversal emits it as a coarse monopole
+        instead of double-visiting merged cells.
 
     Returns:
       :class:`Octree` with ``max_depth - start_level + 1`` levels.
@@ -130,10 +142,21 @@ def build_octree(sorted_codes, sorted_pos, sorted_mass, half, *,
         n = sorted_codes.shape[0]
     if sorted_vel is None:
         sorted_vel = jnp.zeros_like(sorted_pos)
+    if level_caps:
+        assert len(level_caps) == max_depth - start_level + 1
+
+    def cap_of(level):
+        full = level_capacity(level, n)
+        if not level_caps:
+            return full
+        return min(int(level_caps[level - start_level]), full)
 
     # --- deepest level from bodies ---
     seg, n_cells = _ranks(sorted_codes)
-    cap = level_capacity(max_depth, n)
+    cap = cap_of(max_depth)
+    raw_cells = n_cells
+    seg = jnp.minimum(seg, cap - 1)
+    n_cells = jnp.minimum(n_cells, cap)
     mass = _segment(sorted_mass, seg, cap)
     wpos = _segment((sorted_pos * sorted_mass[None, :]).T, seg, cap).T
     wvel = _segment((sorted_vel * sorted_mass[None, :]).T, seg, cap).T
@@ -164,15 +187,18 @@ def build_octree(sorted_codes, sorted_pos, sorted_mass, half, *,
     child = deepest
     for level in range(max_depth - 1, start_level - 1, -1):
         ccap = child.code.shape[0]
-        pcap = level_capacity(level, n)
+        child_overflow = raw_cells > ccap
+        pcap = cap_of(level)
         parent_code = jnp.where(child.code == SENTINEL, SENTINEL,
                                 child.code >> 3)
         pseg, pn = _ranks(parent_code)
+        raw_cells = pn - jnp.any(child.code == SENTINEL).astype(jnp.int32)
+        pseg = jnp.minimum(pseg, pcap - 1)
         # Empty child slots all share the SENTINEL "segment"; kick them out
         # of range so segment ops drop them (and fix the occupied count).
         invalid = child.code == SENTINEL
         pseg = jnp.where(invalid, pcap, pseg)
-        pn = pn - jnp.any(invalid).astype(jnp.int32)
+        pn = jnp.minimum(raw_cells, pcap)
 
         pmass = _segment(child.mass, pseg, pcap)
         pwpos = _segment((child.com * child.mass[None, :]).T, pseg, pcap).T
@@ -186,6 +212,13 @@ def build_octree(sorted_codes, sorted_pos, sorted_mass, half, *,
         cstart = _scatter_min(ccap, pcap, pseg,
                               jnp.arange(ccap, dtype=jnp.int32))
         ccount = _segment(jnp.ones_like(pseg), pseg, pcap)
+        # Child-level overflow: the cap's last slot holds MERGED tail
+        # cells.  A parent whose child run touches it must not be opened
+        # (expanding into the merged slot would double-count mass) — it
+        # keeps ccount 0 and the traversal emits it as a coarse
+        # monopole; its own moments are exact either way.
+        ccount = jnp.where(child_overflow & (cstart + ccount > ccap - 1),
+                           0, ccount)
         pinv_m = 1.0 / jnp.maximum(pmass, 1e-30)[None, :]
         pcom = pwpos * pinv_m
         pm2 = None

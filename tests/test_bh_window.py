@@ -37,6 +37,7 @@ def _err_over_rms(approx, exact):
 
 
 @pytest.mark.parametrize("dist", ["galaxy", "cluster"])
+@pytest.mark.slow
 def test_window_accel_not_worse_than_exact_engine(dist):
     # theta=0.8 BH has intrinsic percent-level error on dense disks; the
     # production engine must be no less accurate than the reference-parity
@@ -62,6 +63,7 @@ def test_window_tight_theta_accuracy():
     assert np.percentile(err, 99) < 0.01
 
 
+@pytest.mark.slow
 def test_window_accuracy_improves_with_theta():
     pos, vel, mass = _bodies(3000)
     exact = allpairs_accel_reference(pos, mass, 0.1, 2.0)
@@ -71,6 +73,7 @@ def test_window_accuracy_improves_with_theta():
     assert errs[0] >= errs[1] >= errs[2]
 
 
+@pytest.mark.slow
 def test_frozen_far_entries_advance_with_velocity():
     # A distant massive clump moving at constant velocity: the frozen
     # list's predicted force should track the clump's motion first-order.
@@ -98,6 +101,7 @@ def test_frozen_far_entries_advance_with_velocity():
     assert np.percentile(err, 99) < 0.05
 
 
+@pytest.mark.slow
 def test_window_trajectory_matches_exact_engine():
     n = 2048
     pos, vel, mass = _bodies(n, seed=5)
@@ -120,6 +124,7 @@ def test_window_trajectory_matches_exact_engine():
     assert diff < 0.05 * scale
 
 
+@pytest.mark.slow
 def test_interval_only_staleness_stays_theta_level():
     # Production mode: no drift rebuilds, interval 20.  Over a full cycle
     # the trajectory must stay within ~theta-level error of the exact
@@ -141,6 +146,7 @@ def test_interval_only_staleness_stays_theta_level():
     assert diff < 0.08 * scale
 
 
+@pytest.mark.slow
 def test_rebuild_policy_triggers_on_interval():
     n = 1024
     pos, vel, mass = _bodies(n)
@@ -161,6 +167,7 @@ def test_engine_resolution():
     assert resolve_engine(NBodyConfig(engine="exact"), 10) == "exact"
 
 
+@pytest.mark.slow
 def test_model_uses_window_engine():
     from spatialsim_tpu.models.nbody import NBodySimulation
     cfg = _cfg(num_bodies=2048, allpairs_threshold=1024, distribution="galaxy")
@@ -179,6 +186,7 @@ def test_model_uses_window_engine():
     sim2.update(0.01)
 
 
+@pytest.mark.slow
 def test_list_saturation_degrades_boundedly():
     # EXTREME-scale proxy (VERDICT weak #7): a Plummer core with a
     # list_capacity below its demand, saturating ~15% of groups — the
@@ -207,6 +215,7 @@ def test_list_saturation_degrades_boundedly():
             < 1.5 * np.percentile(err_roomy, 99))
 
 
+@pytest.mark.slow
 def test_sorted_state_preserves_identity_across_rebuilds():
     # The state lives Morton-sorted and re-sorts at every rebuild; the
     # composed slot -> original-body mapping must stay exact.  With dt=0
@@ -227,6 +236,7 @@ def test_sorted_state_preserves_identity_across_rebuilds():
     np.testing.assert_array_equal(np.asarray(ovel), np.asarray(vel))
 
 
+@pytest.mark.slow
 def test_second_order_far_advance_tracks_acceleration():
     # A distant clump with velocity AND constant acceleration: the
     # second-order advance (com + v*tau + a*tau^2/2, advance_order=2)
@@ -266,6 +276,7 @@ def test_second_order_far_advance_tracks_acceleration():
     assert errs["order2"] < errs["order1"] * 0.25, errs
 
 
+@pytest.mark.slow
 def test_ballistic_advance_order_still_steps():
     # advance_order=1 (no acceleration carry) must remain a working
     # configuration (regression: the stepper once stored the computed
@@ -280,6 +291,7 @@ def test_ballistic_advance_order_still_steps():
     assert np.isfinite(np.asarray(st.pos)).all()
 
 
+@pytest.mark.slow
 def test_host_scheduled_step_matches_in_graph(monkeypatch):
     # The EXTREME-scale two-program split (host-scheduled rebuild) must
     # match the in-graph policy exactly at substeps=1 (the rebuild check
@@ -306,6 +318,7 @@ def test_host_scheduled_step_matches_in_graph(monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_near_groups_conserve_mass_and_improve_error():
     """Neighbour-group coverage (config.near_groups): every body is
     counted exactly once (window + near + far + residual mass == total
@@ -356,6 +369,7 @@ def test_near_groups_pallas_matches_xla():
     np.testing.assert_allclose(a_p, a_x, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_near_groups_stepper_runs():
     n = 2048
     pos, vel, mass = _bodies(n, seed=11)
@@ -370,6 +384,7 @@ def test_near_groups_stepper_runs():
     assert st.lists.near.shape == (n // 64, 4)
 
 
+@pytest.mark.slow
 def test_refresh_rematerializes_exact_moments():
     """refresh_lists: after drift, every ranged entry's monopole equals a
     direct segment recompute over the current sorted state."""
@@ -409,6 +424,7 @@ def test_refresh_rematerializes_exact_moments():
     assert int(nl.steps_since) == 0
 
 
+@pytest.mark.slow
 def test_refresh_beats_frozen_advance():
     """Aged lists WITH periodic refresh track the oracle better than the
     same-age frozen lists (the round-2 staleness tail)."""
@@ -436,6 +452,7 @@ def test_refresh_beats_frozen_advance():
     assert errs[4] <= errs[0] + 1e-6, errs
 
 
+@pytest.mark.slow
 def test_pool_eval_matches_dense_oracle(rng):
     """Pool-compacted eval == dense XLA oracle (same entries, same order)."""
     n = 4096
@@ -543,6 +560,7 @@ def test_finish_lists_group_chunked_matches(rng, monkeypatch):
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_calibration_fixes_cluster_shallow_clamp(rng):
     """Dense isotropic distributions overflow the galaxy-profiled
     shallow worklist caps, force-emitting whole octants as monopoles
@@ -600,6 +618,7 @@ def test_calibration_fixes_cluster_shallow_clamp(rng):
     assert meds["cal"] < meds["default"] / 3, meds
 
 
+@pytest.mark.slow
 def test_ranges_emission_matches_value_emission(rng):
     """emit_mode="ranges" builds the same lists as "values": identical
     entry set (ranges/counts bit-equal), moments f32-close."""
@@ -622,6 +641,7 @@ def test_ranges_emission_matches_value_emission(rng):
         assert np.abs(a - b).max() <= 1e-3 + 1e-3 * np.abs(a).max(), row
 
 
+@pytest.mark.slow
 def test_pool_from_ranges_matches_dense_compaction(rng):
     """The direct-to-pool ranges finish == dense build + compaction
     (same tiles, same encoded ranges, f32-close moments, equal eval)."""
@@ -651,83 +671,6 @@ def test_pool_from_ranges_matches_dense_compaction(rng):
     a_r = np.asarray(eval_accel(lpr, pos, mass, jnp.float32(0.02),
                                 use_pallas=True, **ek))
     assert np.abs(a_r - a_v).max() / np.abs(a_v).max() < 1e-4
-
-
-def test_traverse_kernel_matches_xla_traversal(rng):
-    """The Pallas DFS traversal (emit_mode="kernel", interpret on CPU)
-    emits the IDENTICAL range set per group as the XLA worklist
-    traversal when capacity is adequate, and the materialized lists
-    evaluate equal."""
-    n = 4096
-    pos = jnp.asarray(rng.normal(size=(3, n)) * 120 + 300, jnp.float32)
-    vel = jnp.asarray(rng.normal(size=(3, n)), jnp.float32)
-    mass = jnp.asarray(rng.random(n) + 0.5, jnp.float32)
-    acc = jnp.asarray(rng.normal(size=(3, n)), jnp.float32)
-    kw = dict(theta=0.8, softening=2.0, skin=2.0, max_depth=6,
-              group_size=256, window_groups=2, list_cap=4096)
-    lr = build_lists(pos, vel, mass, acc, emit_mode="ranges", **kw)
-    lk = build_lists(pos, vel, mass, acc, emit_mode="kernel", **kw)
-    fnr, fnk = np.asarray(lr.far_n), np.asarray(lk.far_n)
-    # Equivalence only holds below saturation (the two paths fold
-    # differently at the cap — by design); guard the regime.
-    assert fnr.max() < 4096 - 80, "test config saturated; raise list_cap"
-    rr, rk = np.asarray(lr.far_range), np.asarray(lk.far_range)
-    for g in range(fnr.shape[0]):
-        a = {tuple(x) for x in rr[g, :, :fnr[g]].T.tolist()
-             if x[1] > x[0]}   # drop the (0, 0) residual slot
-        b = {tuple(x) for x in rk[g, :, :fnk[g]].T.tolist()}
-        assert a == b, f"group {g}: range sets differ"
-    ek = dict(G=0.1, softening=2.0, group_size=256, window_groups=2)
-    ar = np.asarray(eval_accel(lr, pos, mass, jnp.float32(0.0),
-                               use_pallas=False, **ek))
-    ak = np.asarray(eval_accel(lk, pos, mass, jnp.float32(0.0),
-                               use_pallas=False, **ek))
-    rel = (np.linalg.norm(ar - ak, axis=0)
-           / (1e-6 + np.linalg.norm(ar, axis=0)))
-    assert rel.max() < 1e-4
-
-
-def test_traverse_kernel_fold_conserves_mass(rng):
-    """Under list-cap pressure the kernel folds to coarse emissions
-    (never drops mass) and reports no hard overflow."""
-    n = 4096
-    pos = jnp.asarray(rng.normal(size=(3, n)) * 120, jnp.float32)
-    vel = jnp.asarray(rng.normal(size=(3, n)), jnp.float32)
-    mass = jnp.asarray(rng.random(n) + 0.5, jnp.float32)
-    acc = jnp.asarray(rng.normal(size=(3, n)), jnp.float32)
-    kw = dict(theta=0.8, softening=2.0, skin=2.0, max_depth=6,
-              group_size=256, window_groups=2)
-    lr = build_lists(pos, vel, mass, acc, emit_mode="ranges",
-                     list_cap=2048, **kw)
-    lk = build_lists(pos, vel, mass, acc, emit_mode="kernel",
-                     list_cap=192, **kw)   # force the fold path
-    mr = np.asarray(lr.far[:, 6, :]).sum(axis=1)
-    mk = np.asarray(lk.far[:, 6, :]).sum(axis=1)
-    np.testing.assert_allclose(mk, mr, rtol=1e-4, atol=1e-3)
-
-
-def test_traverse_kernel_stepper_matches_default():
-    """make_window_step with traversal_emit="kernel" (DFS kernel inside
-    the jitted rebuild cond) tracks the default engine's trajectory
-    through a rebuild."""
-    pos, vel, mass = _bodies(8192, "galaxy")
-    base = _cfg(group_size=256, max_depth=6, list_capacity=4096,
-                window_groups=2, skin=2.0, rebuild_interval=4,
-                rebuild_drift_mode="off")
-    s0 = init_window_state(pos, vel, mass, base)
-    s1 = init_window_state(pos, vel, mass,
-                           base.replace(traversal_emit="kernel"))
-    step0 = make_window_step(base, 8192, substeps=3)
-    step1 = make_window_step(base.replace(traversal_emit="kernel"),
-                             8192, substeps=3)
-    dt = jnp.float32(0.02)
-    for _ in range(3):   # crosses rebuilds at step 4
-        s0 = step0(s0, dt)
-        s1 = step1(s1, dt)
-    p0, _, _ = state_original_order(s0)
-    p1, _, _ = state_original_order(s1)
-    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1),
-                               rtol=2e-4, atol=2e-4)
 
 
 def test_resolve_config_extreme_scale_guards():
@@ -765,6 +708,7 @@ def test_resolve_config_extreme_scale_guards():
     assert explicit.traversal_emit == "values"
 
 
+@pytest.mark.slow
 def test_pool_overflow_folds_groups_to_residual(rng, monkeypatch):
     """A pool whose static tile cap cannot hold every group's tiles
     folds whole groups into their mass-conserving residual (far_n=0,

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from spatialsim_tpu.config.boids import BoidsConfig
 from spatialsim_tpu.models.boids import Flock, resolve_neighbor_mode
@@ -55,6 +56,7 @@ def _exact_counts(pos, perception_radius):
     return ((d2 > 0.0001) & (d2 < perception_radius ** 2)).sum(axis=1)
 
 
+@pytest.mark.slow
 def test_window_two_pass_capture_rate():
     """Pair capture >= 99.5% (VERDICT weak #5): count captured neighbour
     pairs against a brute-force O(N^2) oracle, and confirm no pair is
@@ -116,6 +118,7 @@ def test_window_single_pass_is_weaker():
     assert np.asarray(nb_one).sum() < np.asarray(nb_two).sum()
 
 
+@pytest.mark.slow
 def test_window_mode_dense_cluster_captures_neighbours():
     # All boids in one tight cluster: Morton-adjacent == spatially
     # adjacent, so the window must reproduce the grid forces closely.

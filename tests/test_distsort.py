@@ -44,6 +44,7 @@ def _run(codes, rows_f, rows_i, D, **kw):
 
 @requires_8
 @pytest.mark.parametrize("dist", ["uniform", "clustered"])
+@pytest.mark.slow
 def test_sample_sort_matches_global(dist):
     D, n = 8, 4096
     rng = np.random.default_rng(3)
@@ -76,6 +77,7 @@ def test_sample_sort_matches_global(dist):
 
 
 @requires_8
+@pytest.mark.slow
 def test_sample_sort_overflow_flag():
     # cap_factor far below 1 makes bins overflow: must report ok=False.
     D, n = 8, 4096

@@ -104,3 +104,72 @@ def test_octree_com_matches_direct_average(rng):
         sel = cell_of_body == lv_code[ci]
         com = (pos[:, sel] * mass[sel]).sum(axis=1) / mass[sel].sum()
         np.testing.assert_allclose(lv_com[:, ci], com, rtol=1e-4, atol=1e-3)
+
+
+def test_tight_level_caps_bitexact_when_fitting():
+    """Occupancy-tight level caps change nothing while cells fit."""
+    import jax.numpy as jnp
+    import numpy as np
+    from spatialsim_tpu import distributions
+    from spatialsim_tpu.ops.bh_window import build_lists, _measure_tree_caps
+    from spatialsim_tpu.config.nbody import NBodyConfig, resolve_config
+    n = 20000
+    p, v, m = distributions.generate_distribution("galaxy", n, 200.0, 0.1,
+                                                  seed=3)
+    pos = jnp.asarray(p.T, jnp.float32)
+    vel = jnp.asarray(v.T, jnp.float32)
+    mass = jnp.asarray(m, jnp.float32)
+    cfg = resolve_config(NBodyConfig(theta=0.8, softening=2.0), n)
+    caps = _measure_tree_caps(cfg.replace(max_depth=7, group_size=256),
+                              pos)
+    kw = dict(theta=0.8, softening=2.0, skin=2.0, max_depth=7,
+              group_size=256, window_groups=2, list_cap=2048,
+              pool_tile=512, with_ranges=True)
+    ref = build_lists(pos, vel, mass, **kw)
+    got = build_lists(pos, vel, mass, tree_caps=caps, **kw)
+    np.testing.assert_array_equal(np.asarray(ref.far_n),
+                                  np.asarray(got.far_n))
+    np.testing.assert_array_equal(np.asarray(ref.pool),
+                                  np.asarray(got.pool))
+
+
+def test_level_cap_overflow_degrades_gracefully():
+    """Caps BELOW occupancy: coarse emissions, mass conserved, no UB."""
+    import jax.numpy as jnp
+    import numpy as np
+    from spatialsim_tpu import distributions
+    from spatialsim_tpu.ops.bh_window import build_lists
+    n = 20000
+    p, v, m = distributions.generate_distribution("uniform", n, 200.0,
+                                                  0.1, seed=4)
+    pos = jnp.asarray(p.T, jnp.float32)
+    vel = jnp.asarray(v.T, jnp.float32)
+    mass = jnp.asarray(m, jnp.float32)
+    kw = dict(theta=0.8, softening=2.0, skin=2.0, max_depth=7,
+              group_size=256, window_groups=2, list_cap=2048,
+              pool_tile=512, with_ranges=True)
+    ref = build_lists(pos, vel, mass, **kw)
+    # Deliberately too small: uniform 20K occupies far more than 2048
+    # cells at depth 6-7.
+    got = build_lists(pos, vel, mass,
+                      tree_caps=(64, 512, 2048, 2048, 2048, 2048), **kw)
+    pool = np.asarray(got.pool)
+    assert np.isfinite(pool).all()
+    # Whole-tree mass: sum over every group of its far mass + window
+    # coverage is config-dependent, so check per-group far mass against
+    # the reference build: coarse folds may REDISTRIBUTE mass between
+    # entries but each group's far field must still see (almost) the
+    # same total mass.
+    def far_mass(lists):
+        ps = np.asarray(lists.pstart)
+        fn = np.asarray(lists.far_n)
+        pl = np.asarray(lists.pool)
+        tile = pl.shape[2]
+        out = np.zeros(len(fn))
+        for g in range(len(fn)):
+            t0 = ps[g]
+            nt = max(0, -(-fn[g] // tile))
+            out[g] = pl[t0:t0 + nt, 6, :].sum()
+        return out
+    mr, mg = far_mass(ref), far_mass(got)
+    np.testing.assert_allclose(mg, mr, rtol=5e-3, atol=1e-2)

@@ -99,6 +99,7 @@ def _cfg(**kw):
     return NBodyConfig(**base)
 
 
+@pytest.mark.slow
 def test_quad_window_beats_mono_median(rng):
     pos, vel, mass = _bodies(4000)
     exact = np.asarray(allpairs_accel_reference(pos, mass, 0.1, 2.0))
@@ -114,6 +115,7 @@ def test_quad_window_beats_mono_median(rng):
     assert e_quad < e_mono * 0.55, (e_mono, e_quad)
 
 
+@pytest.mark.slow
 def test_quad_pallas_matches_xla_fallback():
     pos, vel, mass = _bodies(4000)
     cfg = _cfg(list_capacity=1024)

@@ -112,6 +112,7 @@ def test_cli_status_and_presets(rec_env, capsys):
     assert "Barred Spiral Galaxy" in out
 
 
+@pytest.mark.slow
 def test_record_with_window_engine(rec_env):
     # The production engine path the MEGA/EXTREME presets take (forced
     # here at test scale; XLA eval keeps the CPU suite fast).

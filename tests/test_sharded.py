@@ -55,6 +55,7 @@ def test_ring_allpairs_matches_reference():
 
 
 @requires_8
+@pytest.mark.slow
 def test_sharded_bh_matches_single_chip():
     cfg = NBodyConfig(theta=0.7, G=0.1, softening=2.0, max_depth=7,
                       group_size=64, frontier_capacity=512,
@@ -106,6 +107,7 @@ def test_sharded_step_preserves_sharding():
 
 @requires_8
 @pytest.mark.parametrize("drift_mode", ["off", "max"])
+@pytest.mark.slow
 def test_sharded_window_engine_matches_single_chip(drift_mode):
     from spatialsim_tpu.ops.bh_window import (
         init_window_state, make_window_step)
@@ -143,6 +145,7 @@ def test_sharded_window_engine_matches_single_chip(drift_mode):
 
 
 @requires_8
+@pytest.mark.slow
 def test_sharded_window_replicated_fallback_matches_single_chip(monkeypatch):
     """The sample-sort OVERFLOW fallback (replicated argsort branch of
     the sharded rebuild) produces the same trajectory as the unsharded
@@ -221,6 +224,7 @@ def test_sharded_boids_matches_single_chip(second_pass):
 
 
 @requires_8
+@pytest.mark.slow
 def test_sharded_window_refresh_matches_single_chip():
     """refresh_interval in the sharded engine (all_gather + device-local
     _refresh_dense_core over the shard's entries) tracks the single-chip
