@@ -171,6 +171,16 @@ class NBodyConfig:
     # (dense parity) and the pooled ranges-emission rebuild takes
     # 1757 ms vs ~2.2 s dense at 1M.
     pool_tile: int = 512
+    # Static far-pool tile capacity override (0 = derive from the
+    # worklist budget / cap sum, ops/bh_window.pool_cap_tiles).  The
+    # cap-sum bound is EXACT but wildly pessimistic on grown calibrated
+    # caps — at 10M the 53.5M-slot bound made a 3.65 GB pool whose
+    # finish transients exhausted HBM (docs/measurements_r5/
+    # diag10m.log) while actual stored emissions were ~5x smaller.
+    # ops/bh_window.calibrate_config sets this from a counted-emissions
+    # probe x1.5 headroom; cumulative overflow beyond it folds whole
+    # groups into mass-conserving residuals (bounded error, never UB).
+    pool_cap: int = 0
     # Traversal emission mode: "values" scatters every entry's moment
     # columns during traversal (7-10 f32 columns/level); "ranges"
     # scatters only the (start, end) body range (2 int32 columns) and

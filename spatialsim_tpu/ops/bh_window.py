@@ -372,6 +372,9 @@ def _tile_assemble(counts, payload_tiles, cap, tile=_COMPACT_TILE):
 # ---------------------------------------------------------------------------
 
 SLIVER_CAP = 64  # >= 4 emissions/level x levels; deterministic bound
+# Pool-assembly tiles per chunk (_finish_pool_cellid): blocks of
+# ~CHT*tile slots bound the assembly transient regardless of scale.
+_POOL_ASM_CHUNK = 8192
 # Straddle-emission compaction capacity, per group per level: boundary
 # cuts of the covered union are ~(2 + 2*near_groups) per group, so 16
 # is generous.  Overflow drops the fragment (documented tiny mass leak
@@ -440,7 +443,8 @@ def _emit_offsets(wl_caps):
 def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
                      gsz, intervals, list_cap, n_levels, wl_caps,
                      quadrupole=False, with_acc=False, with_ranges=True,
-                     emit_values=True, emit_compact=False, ablate=()):
+                     emit_values=True, emit_compact=False,
+                     level_offsets=None, ablate=()):
     """Global-worklist traversal: all (group, cell) pairs of one level in
     one flat, group-major list.
 
@@ -512,9 +516,23 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
     # Entry body ranges (refresh machinery; skipped when the caller
     # can't use refreshes — e.g. the sharded engine).  Compact mode
     # collects per-level dense segments instead of (ng*L) slot arrays.
+    # Cell-id mode (``level_offsets`` set) scatters ONE global-cell-id
+    # column instead of the two range columns: every emitted entry IS a
+    # tree cell, so its moments AND body range live in the (tight-cap,
+    # hence small) per-level attribute tables and the finish re-reads
+    # them with one packed gather per pool slot instead of compensated
+    # prefix-sum segment math (:func:`_finish_pool_cellid`).  Unemitted
+    # slots carry the reserved zero-column id.
+    cellid = level_offsets is not None
     slots = with_ranges and not emit_compact
-    fr_s = jnp.zeros((ng * L,), jnp.int32) if slots else None
-    fr_e = jnp.zeros((ng * L,), jnp.int32) if slots else None
+    if cellid:
+        zid = level_offsets[-1] + ng * SLIVER_CAP
+        fr_id = jnp.full((ng * L,), zid, jnp.int32)
+        fr_s = fr_e = None
+    else:
+        fr_id = None
+        fr_s = jnp.zeros((ng * L,), jnp.int32) if slots else None
+        fr_e = jnp.zeros((ng * L,), jnp.int32) if slots else None
     ent_parts = []          # emit_compact: per-level (2, E_l) dense rows
     cnt_parts = []          # emit_compact: per-level (ng,) counts
     far_n = jnp.zeros((ng,), jnp.int32)
@@ -676,13 +694,20 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
             ok = mask & (local < L - 1)
             return ok, local, mask & ~ok
 
-        def scatter_emit(mask, far_cols, fr_s, fr_e, far_n, res_cols):
+        def scatter_emit(mask, far_cols, fr_s, fr_e, fr_id, far_n,
+                         res_cols):
             ok, local, over = gate_cap(mask, far_n)
             flat = jnp.where(ok, gidx * L + local, ng * L)
             if emit_values:
                 far_cols = [fc.at[flat].set(v, mode="drop")
                             for fc, v in zip(far_cols, vals)]
-            if with_ranges:
+            if cellid:
+                # One id column instead of the (start, end) pair; the
+                # finish re-derives both moments and ranges from the
+                # cell tables.
+                fr_id = fr_id.at[flat].set(level_offsets[li] + cidx,
+                                           mode="drop")
+            elif with_ranges:
                 fr_s = fr_s.at[flat].set(cstart, mode="drop")
                 fr_e = fr_e.at[flat].set(cend, mode="drop")
             else:
@@ -690,7 +715,7 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
             res_cols = fold_overflow(res_cols, over)
             counts = jax.ops.segment_sum(ok.astype(jnp.int32), gidx,
                                          num_segments=ng)
-            return (far_cols, fr_s, fr_e,
+            return (far_cols, fr_s, fr_e, fr_id,
                     jnp.minimum(far_n + counts, L - 1), res_cols)
 
         def compact_emit(mask, far_n, res_cols):
@@ -790,8 +815,8 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
             ent_parts.append(ent_l)
             cnt_parts.append(cnt_l)
         else:
-            far_cols, fr_s, fr_e, far_n, res_cols = scatter_emit(
-                emit_val, far_cols, fr_s, fr_e, far_n, res_cols)
+            far_cols, fr_s, fr_e, fr_id, far_n, res_cols = scatter_emit(
+                emit_val, far_cols, fr_s, fr_e, fr_id, far_n, res_cols)
         if "sliver" in ablate:
             sl_n = sl_n + jnp.sum(emit_sl.astype(jnp.int32))
         else:
@@ -859,6 +884,8 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
         far_range = (CompactEmits(ent=jnp.concatenate(ent_parts, axis=1),
                                   cnt=jnp.stack(cnt_parts))
                      if ent_parts else None)
+    elif cellid:
+        far_range = fr_id.reshape(ng, L)
     else:
         far_range = (jnp.stack([fr_s.reshape(ng, L), fr_e.reshape(ng, L)],
                                axis=1)                        # (ng, 2, L)
@@ -949,13 +976,14 @@ def _default_wl_caps(ng: int, n_levels: int, budget: int, c0: int = 64):
     static_argnames=("theta", "softening", "skin", "max_depth", "group_size",
                      "window_groups", "list_cap", "worklist_budget",
                      "n_groups", "quadrupole", "near_groups",
-                     "with_ranges", "pool_tile", "emit_mode", "wl_caps",
-                     "tree_caps"))
+                     "with_ranges", "pool_tile", "pool_cap", "emit_mode",
+                     "wl_caps", "tree_caps", "ablate"))
 def build_lists(pos, vel, mass, acc=None, *, theta, softening, skin=4.0,
                 max_depth=10, group_size=256, window_groups=3, list_cap=2048,
                 worklist_budget=0, group_offset=0, n_groups=None,
                 quadrupole=False, near_groups=0, with_ranges=True,
-                pool_tile=0, emit_mode="auto", wl_caps=(), tree_caps=()):
+                pool_tile=0, pool_cap=0, emit_mode="auto", wl_caps=(),
+                tree_caps=(), ablate=()):
     """Morton-sort + octree + global-worklist traversal -> :class:`BHLists`.
 
     The traversal visits all (group, cell) pairs of one octree level in a
@@ -996,8 +1024,8 @@ def build_lists(pos, vel, mass, acc=None, *, theta, softening, skin=4.0,
         worklist_budget=worklist_budget, group_offset=group_offset,
         n_groups=n_groups, quadrupole=quadrupole,
         near_groups=near_groups, with_ranges=with_ranges,
-        pool_tile=pool_tile, emit_mode=emit_mode, wl_caps=wl_caps,
-        tree_caps=tree_caps)
+        pool_tile=pool_tile, pool_cap=pool_cap, emit_mode=emit_mode,
+        wl_caps=wl_caps, tree_caps=tree_caps, ablate=ablate)
 
 
 @functools.partial(
@@ -1005,14 +1033,15 @@ def build_lists(pos, vel, mass, acc=None, *, theta, softening, skin=4.0,
     static_argnames=("theta", "softening", "skin", "max_depth",
                      "group_size", "window_groups", "list_cap",
                      "worklist_budget", "n_groups", "quadrupole",
-                     "near_groups", "with_ranges", "pool_tile",
+                     "near_groups", "with_ranges", "pool_tile", "pool_cap",
                      "emit_mode", "wl_caps", "tree_caps"))
 def build_lists_sorted(s_pos, s_vel, s_mass, s_acc=None, *, order, theta,
                        softening, skin=4.0, max_depth=10, group_size=256,
                        window_groups=3, list_cap=2048, worklist_budget=0,
                        group_offset=0, n_groups=None, quadrupole=False,
                        near_groups=0, with_ranges=True, pool_tile=0,
-                       emit_mode="auto", wl_caps=(), tree_caps=()):
+                       pool_cap=0, emit_mode="auto", wl_caps=(),
+                       tree_caps=()):
     """:func:`build_lists` for ALREADY globally Morton-sorted state.
 
     Entry point for the distributed rebuild
@@ -1035,8 +1064,8 @@ def build_lists_sorted(s_pos, s_vel, s_mass, s_acc=None, *, order, theta,
         worklist_budget=worklist_budget, group_offset=group_offset,
         n_groups=n_groups, quadrupole=quadrupole,
         near_groups=near_groups, with_ranges=with_ranges,
-        pool_tile=pool_tile, emit_mode=emit_mode, wl_caps=wl_caps,
-        tree_caps=tree_caps)
+        pool_tile=pool_tile, pool_cap=pool_cap, emit_mode=emit_mode,
+        wl_caps=wl_caps, tree_caps=tree_caps)
 
 
 def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
@@ -1044,7 +1073,8 @@ def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
                        max_depth, group_size, window_groups, list_cap,
                        worklist_budget, group_offset, n_groups,
                        quadrupole, near_groups, with_ranges, pool_tile,
-                       emit_mode="auto", wl_caps=(), tree_caps=()):
+                       pool_cap=0, emit_mode="auto", wl_caps=(),
+                       tree_caps=(), ablate=()):
     gsz = group_size
     npad = s_pos.shape[1]
     acc = s_acc
@@ -1101,10 +1131,19 @@ def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
     # emission above is the surviving successor.)
     compact_mode = (emit_mode in ("compact", "compact-mm") and with_ranges
                     and not quadrupole and bool(pool_tile))
+    cellid_mode = (emit_mode == "cellid" and with_ranges
+                   and not quadrupole and bool(pool_tile))
     emit_ranges = (with_ranges and not quadrupole
                    and (emit_mode == "ranges"
                         or (emit_mode == "auto" and bool(pool_tile))
-                        or compact_mode))
+                        or compact_mode or cellid_mode))
+    level_offs = None
+    if cellid_mode:
+        offs, tot = [], 0
+        for lv in tree.levels:
+            offs.append(tot)
+            tot += lv.code.shape[0]
+        level_offs = tuple(offs + [tot])
     far, far_range, far_n, sl_start, sl_end, sl_n, res, _wl = \
         _traverse_global(
             tree, bbox_min, bbox_max, ng, theta=float(theta),
@@ -1114,9 +1153,38 @@ def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
             quadrupole=quadrupole, with_acc=acc is not None,
             with_ranges=with_ranges, emit_values=not emit_ranges,
             emit_compact=(("mm" if emit_mode == "compact-mm" else True)
-                          if compact_mode else False))
+                          if compact_mode else False),
+            level_offsets=level_offs, ablate=tuple(
+                a for a in ablate if a != "finish"))
+    if "finish" in ablate:
+        # Measurement-only stand-in (scripts/decide27.py): same output
+        # structure and static shapes as the pooled finish, with a live
+        # data dependence on every traversal output so nothing upstream
+        # is DCE'd, but none of the finish's gather/prefix machinery.
+        assert pool_tile and emit_ranges and not compact_mode
+        cap = pool_cap or pool_cap_tiles(budget, ng, pool_tile, npad,
+                             caps_total=sum(wl_caps) if explicit_caps else 0)
+        probe = (jnp.sum(far_range.astype(jnp.float32)) * 1e-30
+                 + jnp.sum(far_n).astype(jnp.float32)
+                 + jnp.sum(sl_start + sl_end).astype(jnp.float32) * 1e-30
+                 + jnp.sum(sl_n).astype(jnp.float32) * 1e-30
+                 + jnp.sum(res) * 1e-30)
+        pool = jnp.zeros((cap, POOL_ROWS, pool_tile), jnp.float32) + probe
+        pstart = jnp.arange(ng, dtype=jnp.int32)
+        inv_order = jnp.zeros((n,), jnp.int32)
+        return BHLists(order=order_pad, inv_order=inv_order, far=None,
+                       far_n=far_n, ref_pos=pos, steps_since=jnp.int32(0),
+                       near=near, far_range=None, steps_build=jnp.int32(0),
+                       pool=pool, pstart=pstart)
+    if cellid_mode:
+        cap = pool_cap or pool_cap_tiles(budget, ng, pool_tile, npad,
+                             caps_total=sum(wl_caps) if explicit_caps else 0)
+        return _finish_pool_cellid(
+            tree, level_offs, far_range, far_n, sl_start, sl_end, sl_n,
+            res, s_pos, s_vel, s_mass, order, order_pad, pos, n, list_cap,
+            tile=pool_tile, cap_tiles=cap, s_acc=s_acc, near=near)
     if compact_mode:
-        cap = pool_cap_tiles(budget, ng, pool_tile, npad,
+        cap = pool_cap or pool_cap_tiles(budget, ng, pool_tile, npad,
                              caps_total=sum(wl_caps) if explicit_caps else 0)
         return _finish_pool_compact(
             far_range, far_n, sl_start, sl_end, sl_n, res,
@@ -1124,7 +1192,7 @@ def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
             tile=pool_tile, cap_tiles=cap,
             emit_offsets=_emit_offsets(wl_caps), s_acc=s_acc, near=near)
     if pool_tile and emit_ranges:
-        cap = pool_cap_tiles(budget, ng, pool_tile, npad,
+        cap = pool_cap or pool_cap_tiles(budget, ng, pool_tile, npad,
                              caps_total=sum(wl_caps) if explicit_caps else 0)
         return _finish_pool_ranges(
             far_range, far_n, sl_start, sl_end, sl_n, res,
@@ -1136,7 +1204,7 @@ def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
                           s_acc=s_acc, near=near)
     if pool_tile:
         assert not quadrupole, "pool layout is monopole-only"
-        cap = pool_cap_tiles(budget, ng, pool_tile, npad,
+        cap = pool_cap or pool_cap_tiles(budget, ng, pool_tile, npad,
                              caps_total=sum(wl_caps) if explicit_caps else 0)
         pool, pstart, far_n2 = build_pool(lists.far, lists.far_range,
                                           lists.far_n, tile=pool_tile,
@@ -1548,6 +1616,215 @@ def _finish_pool_ranges(far_range, far_n, sl_start, sl_end, sl_n, res,
         1, 0, 2)
 
     # Residual values (fs = fe = 0 -> refresh REBASES them, like dense).
+    inv_m = jnp.where(has_res, 1.0 / jnp.maximum(res_m, 1e-30), 0.0)
+    zg = jnp.zeros((ng,), jnp.float32)
+    res_rows = [res[:, 1] * inv_m, res[:, 2] * inv_m, res[:, 3] * inv_m,
+                res[:, 4] * inv_m, res[:, 5] * inv_m, res[:, 6] * inv_m,
+                res_m]
+    res_rows += ([res[:, 7] * inv_m, res[:, 8] * inv_m, res[:, 9] * inv_m]
+                 if with_acc else [zg] * 3)
+    res_rows += [zg] * (POOL_ROWS - len(res_rows))
+    rslot = jnp.maximum(far_n_tot - 1, 0)
+    t_of = jnp.where(has_res, pstart + rslot // tile, cap_tiles)
+    pool = pool.at[t_of, :, rslot % tile].set(
+        jnp.stack(res_rows, axis=1), mode="drop")        # (ng, 16)
+
+    inv_order = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    if near is None:
+        near = jnp.zeros((ng, 0), jnp.int32)
+    return BHLists(order=order_pad, inv_order=inv_order,
+                   far=None, far_n=far_n_tot,
+                   ref_pos=pos, steps_since=jnp.int32(0), near=near,
+                   far_range=None, steps_build=jnp.int32(0),
+                   pool=pool, pstart=pstart)
+
+
+def _finish_pool_cellid(tree, level_offsets, fr_id, far_n, sl_start,
+                        sl_end, sl_n, res, s_pos, s_vel, s_mass, order,
+                        order_pad, pos, n, list_cap, *, tile, cap_tiles,
+                        s_acc=None, near=None):
+    """Cell-id finish: pool moments come straight from the cell tables.
+
+    Every far entry the traversal emits IS an octree cell, and with
+    occupancy-tight tree caps the whole tree's attribute tables are a
+    few hundred K columns — so instead of re-deriving each entry's
+    moments from compensated prefix-sum differences at its body-range
+    endpoints (2 extra packed endpoint gathers + Fast2Sum math over
+    every pool slot, :func:`_finish_pool_ranges`), assembly gathers the
+    finished moments (and the body range, as exact 16-bit f32 halves)
+    from ONE global table with ONE packed gather per pool slot.  The
+    moments are the octree's own segment sums — the same identity, one
+    association order earlier.  Slivers (window-straddle fragments;
+    arbitrary body ranges, not cells) keep the prefix-sum machinery but
+    number ≤ SLIVER_CAP per group: their moments append to the table as
+    extra columns and their entries carry synthetic ids.  Pool layout
+    and semantics are identical to the ranges finish.
+    """
+    ng = far_n.shape[0]
+    L = list_cap
+    with_acc = s_acc is not None
+    n_pref = 10 if with_acc else 7
+    SC = SLIVER_CAP
+    C_tot = level_offsets[-1]
+    zid = C_tot + ng * SC                       # reserved zero column
+
+    fr_id = fr_id.reshape(ng * L)
+
+    # --- global cell table: [com3, vel3, mass, (acc3), bs_hi, bs_lo,
+    # cnt_hi, cnt_lo] ---  (ints ride as EXACT 16-bit f32 halves; int32
+    # must not bitcast through f32 on TPU — denormal flush.)
+    def level_rows(lv):
+        rows = [lv.com[0], lv.com[1], lv.com[2],
+                lv.vel[0], lv.vel[1], lv.vel[2], lv.mass]
+        if with_acc:
+            rows += [lv.acc[0], lv.acc[1], lv.acc[2]]
+        bs, cnt = lv.body_start, lv.count
+        rows += [(bs >> 16).astype(jnp.float32),
+                 (bs & 0xFFFF).astype(jnp.float32),
+                 (cnt >> 16).astype(jnp.float32),
+                 (cnt & 0xFFFF).astype(jnp.float32)]
+        return jnp.stack(rows)
+    table = jnp.concatenate([level_rows(lv) for lv in tree.levels],
+                            axis=1)             # (R_t, C_tot)
+    R_t = n_pref + 4
+
+    # --- sliver moments (prefix sums only over these ≤ ng*SC ranges) ---
+    w = s_mass[None, :]
+    cols = [s_mass[None, :], s_pos * w, s_vel * w]
+    if with_acc:
+        cols.append(s_acc * w)
+    pref = _comp_prefix(jnp.concatenate(cols, axis=0))   # (2P, npad+1)
+    seg_sl = _comp_seg(pref, sl_start, sl_end)           # (P, ng, SC)
+    m_sl = seg_sl[0]
+    inv_sl = jnp.where(m_sl > 0, 1.0 / jnp.maximum(m_sl, 1e-30), 0.0)
+    sl_rows = [seg_sl[i + 1].reshape(ng * SC) * inv_sl.reshape(ng * SC)
+               for i in range(n_pref - 1)]
+    sl_rows.insert(6, m_sl.reshape(ng * SC))
+    # insert puts mass at row 6 => layout [com3, vel3, mass, (acc3)]
+    cnt_sl = (sl_end - sl_start).reshape(ng * SC)
+    bs_sl = sl_start.reshape(ng * SC)
+    sl_rows += [(bs_sl >> 16).astype(jnp.float32),
+                (bs_sl & 0xFFFF).astype(jnp.float32),
+                (cnt_sl >> 16).astype(jnp.float32),
+                (cnt_sl & 0xFFFF).astype(jnp.float32)]
+    table = jnp.concatenate(
+        [table, jnp.stack(sl_rows),
+         jnp.zeros((R_t, 1), jnp.float32)], axis=1)  # (R_t, zid + 1)
+
+    # --- append sliver entries (slot L-1 reserved for the residual) ---
+    k = jnp.arange(SC, dtype=jnp.int32)[None, :]
+    take = k < sl_n[:, None]
+    fits = take & (far_n[:, None] + k < list_cap - 1)
+    slot = far_n[:, None] + k
+    gi = jnp.arange(ng, dtype=jnp.int32)[:, None]
+    flat = jnp.where(fits, gi * L + slot, ng * L)
+    sl_ids = C_tot + (gi * SC + k)
+    fr_id = fr_id.at[flat.reshape(-1)].set(sl_ids.reshape(-1),
+                                           mode="drop")
+    far_n = jnp.minimum(far_n + sl_n, list_cap - 1)
+
+    over = take & ~fits
+    def fold(res):
+        om = jnp.where(over, 1.0, 0.0)
+        return res + jnp.stack(
+            [jnp.sum(seg_sl[i] * om, axis=1) for i in range(n_pref)],
+            axis=1)
+    res = jax.lax.cond(jnp.any(over), fold, lambda r: r, res)
+
+    # --- pool-capacity guard (same contract as the ranges finish) ---
+    tiles_try = (far_n + 1 + tile - 1) // tile           # +1: residual
+    start_try = jnp.cumsum(tiles_try) - tiles_try
+    unfit = start_try + tiles_try > cap_tiles - ng
+
+    def fold_groups(args):
+        res, far_n = args
+        fi2 = fr_id.reshape(ng, L)
+        CH = 512 if L % 512 == 0 else L
+
+        def chunk(i, acc):
+            ids = jax.lax.dynamic_slice_in_dim(fi2, i * CH, CH, 1)
+            t = table[:, ids.reshape(-1)].reshape(R_t, ng, CH)
+            m = t[6]
+            em = ((i * CH + jnp.arange(CH, dtype=jnp.int32))[None, :]
+                  < far_n[:, None]) & unfit[:, None]
+            mw = jnp.where(em, m, 0.0)
+            parts = [mw] + [t[r] * mw for r in list(range(6))
+                            + (list(range(7, 10)) if with_acc else [])]
+            return acc + jnp.stack([jnp.sum(p, axis=1) for p in parts],
+                                   axis=1)
+        add = jax.lax.fori_loop(
+            0, L // CH, chunk, jnp.zeros((ng, n_pref), jnp.float32))
+        return res + add, jnp.where(unfit, 0, far_n)
+
+    res, far_n = jax.lax.cond(jnp.any(unfit), fold_groups,
+                              lambda a: a, (res, far_n))
+
+    res_m = res[:, 0]
+    has_res = res_m > 0
+    far_n_tot = far_n + has_res.astype(jnp.int32)
+
+    # --- pool assembly: ONE packed table gather per slot ---
+    tiles_g = (far_n_tot + tile - 1) // tile
+    pstart = (jnp.cumsum(tiles_g) - tiles_g).astype(jnp.int32)
+    tot_tiles = jnp.sum(tiles_g)
+    padded_ids = jnp.pad(fr_id, (0, 1), constant_values=zid)
+
+    def assemble(t_idx):
+        CT = t_idx.shape[0]
+        g_of = (jnp.searchsorted(pstart, t_idx, side="right") - 1).astype(
+            jnp.int32)
+        g_c = jnp.clip(g_of, 0, ng - 1)
+        k_of = t_idx - pstart[g_c]
+        ent = (k_of[:, None] * tile
+               + jnp.arange(tile, dtype=jnp.int32)[None])
+        valid = ((t_idx < tot_tiles)[:, None]
+                 & (ent < far_n_tot[g_c][:, None]))
+        is_res = valid & has_res[g_c][:, None] & (
+            ent == (far_n_tot[g_c] - 1)[:, None])
+        is_rng = valid & ~is_res
+        idx = jnp.where(is_rng,
+                        g_c[:, None] * L + jnp.minimum(ent, L - 1),
+                        ng * L).reshape(-1)
+        ids = padded_ids[idx]
+        t = table[:, ids]                    # ONE packed gather
+        bs_p = ((t[n_pref].astype(jnp.int32) << 16)
+                | t[n_pref + 1].astype(jnp.int32))
+        fe_p = bs_p + ((t[n_pref + 2].astype(jnp.int32) << 16)
+                       | t[n_pref + 3].astype(jnp.int32))
+        zero = jnp.zeros_like(t[0])
+        rows = [t[0], t[1], t[2], t[3], t[4], t[5], t[6]]
+        rows += ([t[7], t[8], t[9]] if with_acc else [zero] * 3)
+        rows += [(bs_p >> 16).astype(jnp.float32),
+                 (bs_p & 0xFFFF).astype(jnp.float32),
+                 (fe_p >> 16).astype(jnp.float32),
+                 (fe_p & 0xFFFF).astype(jnp.float32),
+                 zero, zero]
+        return jnp.stack(rows).reshape(POOL_ROWS, CT, tile).transpose(
+            1, 0, 2)
+
+    # Chunked assembly above ~8.4M slots: the monolithic row stack +
+    # transpose materializes 2x the whole pool (the finish transient
+    # that tipped 10M into ResourceExhausted, diag10m.log) — per-chunk
+    # blocks keep the transient a few hundred MB at any scale.  The
+    # last chunk's start is clamped; its overlap region recomputes the
+    # same tiles, so the overwrite is value-identical.
+    CHT = _POOL_ASM_CHUNK
+    if cap_tiles <= 2 * CHT:
+        pool = assemble(jnp.arange(cap_tiles, dtype=jnp.int32))
+    else:
+        nch = -(-cap_tiles // CHT)
+
+        def chunk(i, pool):
+            start = jnp.minimum(i * CHT, cap_tiles - CHT)
+            block = assemble(start + jnp.arange(CHT, dtype=jnp.int32))
+            return jax.lax.dynamic_update_slice(pool, block,
+                                                (start, 0, 0))
+        pool = jax.lax.fori_loop(
+            0, nch, chunk,
+            jnp.zeros((cap_tiles, POOL_ROWS, tile), jnp.float32))
+
+    # Residual values (fs = fe = 0 -> refresh REBASES them).
     inv_m = jnp.where(has_res, 1.0 / jnp.maximum(res_m, 1e-30), 0.0)
     zg = jnp.zeros((ng,), jnp.float32)
     res_rows = [res[:, 1] * inv_m, res[:, 2] * inv_m, res[:, 3] * inv_m,
@@ -2181,6 +2458,7 @@ def _build_kw(config):
                                  or not getattr(config,
                                                 "use_pallas_eval", True))
                            else getattr(config, "pool_tile", 0)),
+                pool_cap=getattr(config, "pool_cap", 0),
                 emit_mode=getattr(config, "traversal_emit", "auto"),
                 tree_caps=tuple(getattr(config, "tree_caps", ()) or ()))
 
@@ -2562,6 +2840,66 @@ def _measure_tree_caps(config, pos, headroom=2.0):
     return tuple(caps)
 
 
+def _traverse_probe(config, pos, vel, mass, wl_caps, count_emissions=False):
+    """One traversal probe on real initial conditions.
+
+    With ``count_emissions=False`` the emission/sliver phases are
+    ablated (cheapest form) and the return is the stacked
+    ``[fills | pre-clamp demands]`` vector (2*n_levels,).  With
+    ``count_emissions=True`` the probe emits for real (ranges mode) and
+    returns ``(wl, far_n, sl_n)`` — the STORED per-group entry counts
+    that size the far pool.  ``config`` must be resolved and carry
+    ``tree_caps``.
+    """
+    kw = _build_kw(config)
+    n = pos.shape[1]
+    gsz = kw["group_size"]
+    max_depth = kw["max_depth"]
+    npad = ((n + gsz - 1) // gsz) * gsz
+    pad = npad - n
+    n_levels = max_depth - 2 + 1
+    ng = npad // gsz
+
+    @functools.partial(jax.jit, static_argnames=("caps", "emits"))
+    def run(pos, vel, mass, caps, emits):
+        half = compute_bounds(pos)
+        codes = morton_encode(pos, half, max_depth)
+        order = jnp.argsort(codes).astype(jnp.int32)
+        order_pad = jnp.concatenate(
+            [order, jnp.broadcast_to(order[-1], (pad,))])
+        s_codes = jnp.concatenate(
+            [codes[order], jnp.broadcast_to(codes[order[-1]], (pad,))])
+        s_pos = pos[:, order_pad]
+        pad_mask = jnp.arange(npad) >= n
+        s_mass = jnp.where(pad_mask, 0.0, mass[order_pad])
+        tree = build_octree(s_codes, s_pos, s_mass, half,
+                            max_depth=max_depth, start_level=2,
+                            n=npad,
+                            level_caps=tuple(kw.get("tree_caps", ())))
+        gpos = s_pos.reshape(3, ng, gsz)
+        bbox_min = jnp.min(gpos, axis=2).T
+        bbox_max = jnp.max(gpos, axis=2).T
+        near = jnp.zeros((ng, 0), jnp.int32)
+        intervals = _covered_intervals(near, kw["window_groups"],
+                                       0, gsz)
+        out = _traverse_global(
+            tree, bbox_min, bbox_max, ng, theta=float(kw["theta"]),
+            soft_sq=float(kw["softening"]) ** 2,
+            skin=float(kw["skin"]), gsz=gsz, intervals=intervals,
+            list_cap=kw["list_cap"], n_levels=n_levels,
+            wl_caps=caps, quadrupole=False, with_acc=False,
+            with_ranges=True, emit_values=False,
+            ablate=() if emits else ("emit", "sliver"))
+        return (out[7], out[2], out[5]) if emits else out[7]
+
+    import numpy as np
+    out = run(pos, vel, mass, tuple(wl_caps), count_emissions)
+    if count_emissions:
+        return (np.asarray(out[0]), np.asarray(out[1]),
+                np.asarray(out[2]))
+    return np.asarray(out)
+
+
 def calibrate_config(config, pos, vel, mass, rounds=3, headroom=1.5):
     """Demand-calibrate per-level worklist caps on real initial conditions.
 
@@ -2594,48 +2932,15 @@ def calibrate_config(config, pos, vel, mass, rounds=3, headroom=1.5):
     kw = _build_kw(config)
     n = pos.shape[1]
     gsz = kw["group_size"]
-    max_depth = kw["max_depth"]
     npad = ((n + gsz - 1) // gsz) * gsz
-    pad = npad - n
-    n_levels = max_depth - 2 + 1
+    n_levels = kw["max_depth"] - 2 + 1
     ng = npad // gsz
     budget = kw["worklist_budget"] or _auto_budget(npad)
     defaults = _default_wl_caps(ng, n_levels, budget,
                                 c0=level_capacity(2, npad))
 
     def probe(wl_caps):
-        @functools.partial(jax.jit, static_argnames=("caps",))
-        def run(pos, vel, mass, caps):
-            half = compute_bounds(pos)
-            codes = morton_encode(pos, half, max_depth)
-            order = jnp.argsort(codes).astype(jnp.int32)
-            order_pad = jnp.concatenate(
-                [order, jnp.broadcast_to(order[-1], (pad,))])
-            s_codes = jnp.concatenate(
-                [codes[order], jnp.broadcast_to(codes[order[-1]], (pad,))])
-            s_pos = pos[:, order_pad]
-            pad_mask = jnp.arange(npad) >= n
-            s_mass = jnp.where(pad_mask, 0.0, mass[order_pad])
-            tree = build_octree(s_codes, s_pos, s_mass, half,
-                                max_depth=max_depth, start_level=2,
-                                n=npad,
-                                level_caps=tuple(kw.get("tree_caps", ())))
-            gpos = s_pos.reshape(3, ng, gsz)
-            bbox_min = jnp.min(gpos, axis=2).T
-            bbox_max = jnp.max(gpos, axis=2).T
-            near = jnp.zeros((ng, 0), jnp.int32)
-            intervals = _covered_intervals(near, kw["window_groups"],
-                                           0, gsz)
-            out = _traverse_global(
-                tree, bbox_min, bbox_max, ng, theta=float(kw["theta"]),
-                soft_sq=float(kw["softening"]) ** 2,
-                skin=float(kw["skin"]), gsz=gsz, intervals=intervals,
-                list_cap=kw["list_cap"], n_levels=n_levels,
-                wl_caps=caps, quadrupole=False, with_acc=False,
-                with_ranges=True, emit_values=False,
-                ablate=("emit", "sliver"))
-            return out[7]
-        return np.asarray(run(pos, vel, mass, tuple(wl_caps)))
+        return _traverse_probe(config, pos, vel, mass, wl_caps)
 
     # HBM-derived per-level ceiling: the traversal's live set per slot
     # is ~30-40 f32/int32 columns (cell attrs + group bounds + interval
@@ -2649,16 +2954,28 @@ def calibrate_config(config, pos, vel, mass, rounds=3, headroom=1.5):
     # smaller).  The HBM size comes from the device itself
     # (memory_stats) so a 95 GB v5p is not clamped to a v5e's budget;
     # 13 GB is only the fallback when the runtime reports nothing.
+    #
+    # The DEEPEST TWO levels never grow past their defaults at all:
+    # granting them lvl_ceil each (14.75M + 14.75M at 10M) pushed the
+    # cap sum to 53.5M slots and the run into ResourceExhausted at the
+    # first rebuild even WITH the ceiling (docs/measurements_r5/
+    # diag10m.log), while deep-level folding is the measured-gentle
+    # error case (leaf-scale monopoles; scripts/nbody_error.py
+    # 2026-08-17) — the rms-0.9 cluster tail came from the SHALLOW
+    # clamps, which stay granted in full.
     usable = _device_hbm_bytes() - 120.0 * n
     lvl_ceil = int(max(8_000_000, usable * 0.25 / 200.0))
     HARD_CEIL = min(48_000_000, lvl_ceil)
+    lvl_ceils = [HARD_CEIL] * n_levels
+    for li in range(max(0, n_levels - 2), n_levels):
+        lvl_ceils[li] = min(HARD_CEIL, defaults[li])
     caps = list(defaults)
     grown = False
     for _ in range(max(1, rounds)):
         wl = probe(caps)
         demand = wl[n_levels:]
         clamped = [int(demand[li]) > caps[li]
-                   and caps[li] < min(HARD_CEIL,
+                   and caps[li] < min(lvl_ceils[li],
                                       ng * level_capacity(li + 2, npad))
                    for li in range(n_levels)]
         if not any(clamped):
@@ -2671,7 +2988,8 @@ def calibrate_config(config, pos, vel, mass, rounds=3, headroom=1.5):
             tgt = max(caps[li], int(int(demand[li]) * headroom))
             tgt = -(-tgt // 1024) * 1024
             new.append(int(max(caps[li],
-                               min(max(tgt, ng * 8), exact, HARD_CEIL))))
+                               min(max(tgt, ng * 8), exact,
+                                   lvl_ceils[li]))))
         new[0] = max(new[0], ng * level_capacity(2, npad))
         if new == caps:
             # A level can stay "clamped" (demand > cap) while its growth
@@ -2683,9 +3001,24 @@ def calibrate_config(config, pos, vel, mass, rounds=3, headroom=1.5):
         caps = new
     if not grown:
         return config
-    # Pool sizing switches to the exact caps_total bound when explicit
-    # caps are set (pool_cap_tiles) — the budget itself stays untouched.
-    return config.replace(wl_caps=tuple(caps))
+    config = config.replace(wl_caps=tuple(caps))
+    # Pool sizing: the exact caps_total bound is wildly pessimistic on
+    # grown caps (53.5M slots -> a 3.65 GB pool at 10M whose finish
+    # transients OOM'd HBM, diag10m.log) — size it from a COUNTED
+    # emissions probe instead, x1.5 drift headroom.  Cumulative
+    # overflow beyond the static cap folds whole groups into their
+    # mass-conserving residuals (the graceful path, _finish_pool_*).
+    tile = kw["pool_tile"]
+    if tile and not getattr(config, "pool_cap", 0):
+        _, far_n, sl_n = _traverse_probe(config, pos, vel, mass,
+                                         tuple(caps),
+                                         count_emissions=True)
+        need = int(np.sum(
+            (far_n.astype(np.int64) + sl_n + 1 + tile - 1) // tile))
+        exact = int(sum(caps) + ng * (SLIVER_CAP + 1)) // tile + ng + 1
+        config = config.replace(
+            pool_cap=min(int(need * 1.5) + ng + 1, exact))
+    return config
 
 
 def window_bh_accel(pos, vel, mass, config, dt=0.0, use_pallas=None):
