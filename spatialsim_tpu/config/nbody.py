@@ -253,11 +253,13 @@ def resolve_config(config: NBodyConfig, n: int) -> NBodyConfig:
         # ~6.4 GB at the 10M order-2 shape, which is what tipped the 10M
         # bench into RESOURCE_EXHAUSTED in round 4 (the order-2 acc
         # columns and the refresh range columns grew the transient ~2 GB
-        # past round 2's peak).  Ranges emission scatters only (start,
-        # end) and materializes moments from compensated prefix sums, so
-        # the columns never exist; required at EXTREME scale regardless
-        # of the pool.
-        kw["traversal_emit"] = "ranges"
+        # past round 2's peak).  With the pool on, "auto" resolves to
+        # cellid emission downstream (bh_window._build_from_sorted);
+        # above 20.5M the pool is off (dense-from-ranges is the
+        # memory-optimal layout) and ranges emission is required
+        # explicitly so the columns never exist.
+        if not kw.get("pool_tile", config.pool_tile):
+            kw["traversal_emit"] = "ranges"
     return config.replace(**kw) if kw else config
 
 

@@ -417,6 +417,35 @@ def _pack_levels(tree, quadrupole, with_acc):
     return packed
 
 
+def _pack_levels_geo(tree):
+    """Single-table GEO packing for ranges/cellid (``emit_values=False``).
+
+    Those modes never emit moment values during the traversal, so the
+    only per-slot cell reads are GEOMETRY: com (acceptance test), count
+    / body_start (covered-interval tests, sliver clipping), child_start
+    / child_count (expansion).  Packing them into ONE f32 table — ints
+    as exact 16-bit halves, CONVERTED not bitcast (small int32 patterns
+    are f32 denormals and the TPU flushes them; 16-bit halves are
+    integers <= 65535, exactly representable) — halves the traversal's
+    per-slot gather count vs the (floats, ints) pair of
+    :func:`_pack_levels` (~15 ns/index per gather regardless of row
+    count, scripts/gather_bench.py).  child_count <= 8 rides a single
+    row.  Rows: [com3, cnt_hi, cnt_lo, bs_hi, bs_lo, chs_hi, chs_lo,
+    chc] = 10.  The overflow-residual fold re-gathers [mass, vel] from
+    the level arrays inside its (rare) cond branch instead.
+    """
+    packed = []
+    for lv in tree.levels:
+        def hl(x):
+            return [(x >> 16).astype(jnp.float32),
+                    (x & 0xFFFF).astype(jnp.float32)]
+        rows = ([lv.com[0], lv.com[1], lv.com[2]]
+                + hl(lv.count) + hl(lv.body_start) + hl(lv.child_start)
+                + [lv.child_count.astype(jnp.float32)])
+        packed.append(jnp.stack(rows))
+    return packed
+
+
 class CompactEmits(NamedTuple):
     """Scatter-free traversal emissions (``emit_compact`` mode).
 
@@ -496,7 +525,21 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
     if emit_compact:
         assert not emit_values and with_ranges
     levels = tree.levels
-    packed_levels = _pack_levels(tree, quadrupole, with_acc)
+    # GEO single-gather form for ranges/cellid; the classic (floats,
+    # ints) pair only when moment values are emitted during traversal.
+    geo = not emit_values
+    if geo:
+        geo_levels = _pack_levels_geo(tree)
+        # [mass, vel3 (, acc3)] per level — gathered ONLY inside the
+        # overflow-residual cond branch (rare), so the hot path pays a
+        # single gather per slot.
+        mv_levels = [jnp.stack([lv.mass, lv.vel[0], lv.vel[1], lv.vel[2]]
+                               + ([lv.acc[0], lv.acc[1], lv.acc[2]]
+                                  if with_acc else []))
+                     for lv in levels]
+        packed_levels = None
+    else:
+        packed_levels = _pack_levels(tree, quadrupole, with_acc)
     theta_sq = theta * theta
     L = list_cap
     n_cols = 7 + (6 if quadrupole else 0) + (3 if with_acc else 0)
@@ -593,28 +636,46 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
                                   for r in range(rows2d.shape[0])])
             return rows2d[:, idx]
 
-        # TWO packed gathers for every per-cell attribute (floats + ints
-        # — see _pack_levels).
-        if "gather_cell" in ablate:
-            A = jnp.broadcast_to(packed_levels[li][0][:, :1],
-                                 (packed_levels[li][0].shape[0], W))
-            ci = jnp.broadcast_to(packed_levels[li][1][:, :1], (4, W))
+        # ONE packed gather per slot for ranges/cellid (GEO table, ints
+        # as exact 16-bit halves); the classic TWO (floats + ints) only
+        # when the traversal emits moment values (see _pack_levels).
+        def unhl(hi, lo):
+            return (hi.astype(jnp.int32) << 16) | lo.astype(jnp.int32)
+
+        if geo:
+            if "gather_cell" in ablate:
+                G = jnp.broadcast_to(geo_levels[li][:, :1], (10, W))
+            else:
+                G = pgather(geo_levels[li], cidx)     # (10, W) f32
+            ccom = G[0:3]
+            cvel = cmass = A = None
+            ccount = jnp.where(active, unhl(G[3], G[4]), 0)
+            cstart = jnp.where(active, unhl(G[5], G[6]), 0)
+            child_start = unhl(G[7], G[8])
+            child_count = G[9].astype(jnp.int32)
+            vals = None
         else:
-            A = pgather(packed_levels[li][0], cidx)   # (n_cols, W) f32
-            ci = pgather(packed_levels[li][1], cidx)  # (4, W) int32
-        ccom = A[0:3]
-        cvel = A[3:6]
-        cmass = jnp.where(active, A[6], 0.0)
-        ccount = jnp.where(active, ci[0], 0)
-        cstart = jnp.where(active, ci[1], 0)
+            if "gather_cell" in ablate:
+                A = jnp.broadcast_to(packed_levels[li][0][:, :1],
+                                     (packed_levels[li][0].shape[0], W))
+                ci = jnp.broadcast_to(packed_levels[li][1][:, :1], (4, W))
+            else:
+                A = pgather(packed_levels[li][0], cidx)  # (n_cols, W) f32
+                ci = pgather(packed_levels[li][1], cidx)  # (4, W) int32
+            ccom = A[0:3]
+            cvel = A[3:6]
+            cmass = jnp.where(active, A[6], 0.0)
+            ccount = jnp.where(active, ci[0], 0)
+            cstart = jnp.where(active, ci[1], 0)
+            child_start = ci[2]
+            child_count = ci[3]
+            # Columnar entry values [cx, cy, cz, vx, vy, vz, mass (, q6)
+            # (, acc3)] are the packed rows themselves (mass re-gated to
+            # 0 for inactive slots); the traceless quadrupole was
+            # converted once per cell at pack time.
+            vals = ((A[0], A[1], A[2], A[3], A[4], A[5], cmass)
+                    + tuple(A[i] for i in range(7, n_cols)))
         cend = cstart + ccount
-        # Columnar entry values [cx, cy, cz, vx, vy, vz, mass (, q6) (,
-        # acc3)] are the packed rows themselves (mass re-gated to 0 for
-        # inactive slots); the traceless quadrupole was converted once per
-        # cell at pack time.  Ranges-only emission never touches them.
-        vals = ((A[0], A[1], A[2], A[3], A[4], A[5], cmass)
-                + tuple(A[i] for i in range(7, n_cols))
-                if emit_values else None)
 
         if "gather_group" in ablate:
             B = jnp.broadcast_to(bounds[:, :1], (6, W))
@@ -648,7 +709,7 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
         # (ops/octree.build_octree level_caps) produce them when a level
         # overflows (the merged-tail guard zeroes child_count).  Opening
         # one would expand into nothing and silently drop its mass.
-        childless = ci[3] == 0
+        childless = child_count == 0
         emit_val = outside & (theta_ok | (ccount <= 1) | childless)
         emit_sl = straddle & ((ccount <= 1) | childless)
         if last:
@@ -670,14 +731,25 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
             # Entries past the per-group cap fold into the
             # mass-conserving residual; cond-gated by callers (rare).
             def add_residual(res_cols):
-                w = jnp.where(over, cmass, 0.0)
                 res_idx = jnp.where(over, gidx, ng)
-                contribs = (w, ccom[0] * w, ccom[1] * w, ccom[2] * w,
-                            cvel[0] * w, cvel[1] * w, cvel[2] * w)
-                if with_acc:
-                    contribs = contribs + (A[n_cols - 3] * w,
-                                           A[n_cols - 2] * w,
-                                           A[n_cols - 1] * w)
+                if geo:
+                    # GEO mode never gathered mass/vel on the hot path —
+                    # re-gather them here, INSIDE the rare branch.
+                    MV = pgather(mv_levels[li], cidx)
+                    w = jnp.where(over & active, MV[0], 0.0)
+                    contribs = (w, ccom[0] * w, ccom[1] * w, ccom[2] * w,
+                                MV[1] * w, MV[2] * w, MV[3] * w)
+                    if with_acc:
+                        contribs = contribs + (MV[4] * w, MV[5] * w,
+                                               MV[6] * w)
+                else:
+                    w = jnp.where(over, cmass, 0.0)
+                    contribs = (w, ccom[0] * w, ccom[1] * w, ccom[2] * w,
+                                cvel[0] * w, cvel[1] * w, cvel[2] * w)
+                    if with_acc:
+                        contribs = contribs + (A[n_cols - 3] * w,
+                                               A[n_cols - 2] * w,
+                                               A[n_cols - 1] * w)
                 return [rc.at[res_idx].add(c, mode="drop")
                         for rc, c in zip(res_cols, contribs)]
 
@@ -793,7 +865,7 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
 
         if not last:
             W_next = wl_caps[li + 1]
-            cc0 = jnp.where(open_, ci[3], 0)
+            cc0 = jnp.where(open_, child_count, 0)
             base0 = jnp.cumsum(cc0) - cc0
             # Pre-clamp demand: what the next level WANTED.  demand >
             # cap means children were folded into coarse monopole
@@ -845,7 +917,7 @@ def _traverse_global(tree, bbox_min, bbox_max, ng, *, theta, soft_sq, skin,
             has = cc > 0
             ridx = jnp.cumsum(has.astype(jnp.int32)) - has
             rpos = jnp.where(has, ridx, W)
-            cs = ci[2]
+            cs = child_start
             run_cs = jnp.zeros((W,), jnp.int32).at[rpos].set(
                 cs, mode="drop")
             run_g = jnp.full((W,), ng, jnp.int32).at[rpos].set(
@@ -1131,7 +1203,10 @@ def _build_from_sorted(s_codes, s_pos, s_vel, s_mass, s_acc, order,
     # emission above is the surviving successor.)
     compact_mode = (emit_mode in ("compact", "compact-mm") and with_ranges
                     and not quadrupole and bool(pool_tile))
-    cellid_mode = (emit_mode == "cellid" and with_ranges
+    # auto -> cellid when the pool is on: on-chip A/B at 1M showed the
+    # cell-table finish beats the prefix-sum ranges finish (rebuild 1664
+    # -> 1401 ms, identical checksums — decide27_geo.log).
+    cellid_mode = (emit_mode in ("cellid", "auto") and with_ranges
                    and not quadrupole and bool(pool_tile))
     emit_ranges = (with_ranges and not quadrupole
                    and (emit_mode == "ranges"
