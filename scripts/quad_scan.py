@@ -65,9 +65,11 @@ def main():
             num_bodies=n, theta=0.8, G=0.1, softening=2.0,
             spawn_radius=500.0, distribution="cluster",
             engine="window"), n)
+        # prod = the exact bench path incl. demand calibration (the
+        # round-5 error-tail fix); theta 1.3 is the reference's own 10M
+        # preset acceptance (tools/presets.py:2410).
         variants = [("prod", {}),
-                    ("prod_d8", {"max_depth": 8}),
-                    ("prod_theta1.0", {"theta": 1.0})]
+                    ("prod_theta1.3", {"theta": 1.3})]
     else:
         base = NBodyConfig(
             num_bodies=n, theta=0.8, G=0.1, softening=2.0,
@@ -81,6 +83,14 @@ def main():
     pos = jnp.asarray(pp.T, jnp.float32)
     vel = jnp.asarray(vv.T, jnp.float32)
     mass = jnp.asarray(mm, jnp.float32)
+
+    if n > 4_000_000:
+        from spatialsim_tpu.ops.bh_window import calibrate_config
+        t0 = time.time()
+        base = calibrate_config(base, pos, vel, mass)
+        print(f"calibrated in {time.time()-t0:.0f}s "
+              f"wl_caps={list(getattr(base, 'wl_caps', ()) or ())} "
+              f"pool_cap={getattr(base, 'pool_cap', 0)}", flush=True)
 
     rng = np.random.default_rng(1)
     idx = jnp.asarray(np.sort(rng.choice(n, 2048, replace=False)))
