@@ -87,12 +87,15 @@ def main():
 
     ekw = dict(G=cfg.G, softening=cfg.softening, group_size=cfg.group_size,
                window_groups=cfg.window_groups, use_pallas=True)
-    taus = [0, 24, 48, 96] if not refresh_iv else [0, 24, 48, 96, 192]
-    step24 = make_window_step(cfg, n, substeps=24)
+    if len(sys.argv) > 6:
+        taus = [int(t) for t in sys.argv[6].split(",")]   # any 8-multiples
+    else:
+        taus = [0, 24, 48, 96] if not refresh_iv else [0, 24, 48, 96, 192]
+    step8 = make_window_step(cfg, n, substeps=8)
     for i, tau in enumerate(taus):
         if tau:
-            for _ in range((tau - taus[i - 1]) // 24):
-                st = step24(st, dt)
+            for _ in range((tau - taus[i - 1]) // 8):
+                st = step8(st, dt)
             np.asarray(st.pos[0, :1])
         exact = exact_accel_at(st.pos[:, idx], st.pos, st.mass, cfg.G,
                                cfg.softening ** 2)
