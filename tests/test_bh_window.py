@@ -791,6 +791,71 @@ def test_compact_emission_pool_bitexact(rng, mode):
                                   np.asarray(got.pool))
 
 
+def test_cellid_emission_pool_matches_ranges(rng):
+    """Cell-id emission assembles the same pool as the ranges finish.
+
+    The DEFAULT pooled path since round 5 (auto -> cellid):
+    _finish_pool_cellid re-derives entry moments from the octree cell
+    tables (one packed gather per slot) instead of compensated
+    prefix-sum differences — the same segment sums one association
+    order earlier, so moments agree to f32 rounding while the entry
+    STRUCTURE (far_n, pstart, packed body-range rows) must be exact.
+    Covers order-2 acc rows, list_cap overflow -> residual folds, and
+    window-straddle slivers (synthetic table ids).
+    """
+    from spatialsim_tpu.ops.bh_window import build_lists
+    n = 12000
+    p, v, m = distributions.generate_distribution(
+        "cluster", n, 200.0, 0.1, seed=5)
+    pos = jnp.asarray(p.T, jnp.float32)
+    vel = jnp.asarray(v.T, jnp.float32)
+    mass = jnp.asarray(m, jnp.float32)
+    acc = jnp.asarray(rng.standard_normal((3, n)) * 0.1, jnp.float32)
+    kw = dict(theta=0.6, softening=2.0, skin=2.0, max_depth=7,
+              group_size=128, window_groups=2, list_cap=256,
+              pool_tile=128, with_ranges=True)
+    ref = build_lists(pos, vel, mass, acc, emit_mode="ranges", **kw)
+    got = build_lists(pos, vel, mass, acc, emit_mode="cellid", **kw)
+    assert int(jnp.max(ref.far_n)) >= kw["list_cap"] - 1, \
+        "config should force at least one overflow fold"
+    np.testing.assert_array_equal(np.asarray(ref.far_n),
+                                  np.asarray(got.far_n))
+    np.testing.assert_array_equal(np.asarray(ref.pstart),
+                                  np.asarray(got.pstart))
+    # Packed body-range rows (10-13) are integers in f32 — exact.
+    np.testing.assert_array_equal(np.asarray(ref.pool[:, 10:14, :]),
+                                  np.asarray(got.pool[:, 10:14, :]))
+    np.testing.assert_allclose(np.asarray(ref.pool),
+                               np.asarray(got.pool), rtol=2e-5, atol=2e-3)
+
+
+def test_cellid_unfit_group_fold_matches(rng):
+    """Pool-capacity (whole-group) folds match the ranges path, and the
+    static pool_cap override is honoured by the cellid finish."""
+    from spatialsim_tpu.ops.bh_window import build_lists
+    n = 12000
+    p, v, m = distributions.generate_distribution(
+        "cluster", n, 200.0, 0.1, seed=7)
+    pos = jnp.asarray(p.T, jnp.float32)
+    vel = jnp.asarray(v.T, jnp.float32)
+    mass = jnp.asarray(m, jnp.float32)
+    kw = dict(theta=0.7, softening=2.0, skin=2.0, max_depth=7,
+              group_size=128, window_groups=2, list_cap=512,
+              pool_tile=64, with_ranges=True)
+    ng = -(-n // kw["group_size"])
+    cap = 40 + ng + 1
+    ref = build_lists(pos, vel, mass, emit_mode="ranges",
+                      pool_cap=cap, **kw)
+    got = build_lists(pos, vel, mass, emit_mode="cellid",
+                      pool_cap=cap, **kw)
+    assert ref.pool.shape[0] == cap and got.pool.shape[0] == cap
+    fn_ref = np.asarray(ref.far_n)
+    assert (fn_ref == 1).any(), "cap should force whole-group folds"
+    np.testing.assert_array_equal(fn_ref, np.asarray(got.far_n))
+    np.testing.assert_allclose(np.asarray(ref.pool),
+                               np.asarray(got.pool), rtol=2e-5, atol=2e-3)
+
+
 def test_compact_emission_unfit_group_fold_matches(rng):
     """Pool-capacity (whole-group) folds match the ranges path."""
     from spatialsim_tpu.ops.bh_window import build_lists
