@@ -61,13 +61,22 @@ def main():
     mass = jnp.asarray(mass, jnp.float32)
     print(f"[{time.time()-t0:7.1f}s] ICs on device", flush=True)
 
-    try:
-        cfg = bw.calibrate_config(cfg, pos, vel, mass)
-        print(f"[{time.time()-t0:7.1f}s] calibrate OK", flush=True)
-    except Exception as e:  # noqa: BLE001
-        print(f"[{time.time()-t0:7.1f}s] calibrate FAILED "
-              f"{type(e).__name__}: {str(e)[:300]}", flush=True)
-        return 2
+    if os.environ.get("EXTREME_SKIP_CALIBRATE") == "1":
+        # Reproduce the EXTREME ladder path exactly (extreme_run.py
+        # skips calibration above 20M — the probes are their own
+        # OOM/time risk at 50M); the analytic ledger below still
+        # prints, so a first-build OOM gets localized WITH its budget
+        # math on record.
+        print(f"[{time.time()-t0:7.1f}s] calibrate skipped (EXTREME)",
+              flush=True)
+    else:
+        try:
+            cfg = bw.calibrate_config(cfg, pos, vel, mass)
+            print(f"[{time.time()-t0:7.1f}s] calibrate OK", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"[{time.time()-t0:7.1f}s] calibrate FAILED "
+                  f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+            return 2
     print(f"  tree_caps={list(getattr(cfg, 'tree_caps', ()) or ())}",
           flush=True)
     print(f"  wl_caps={list(getattr(cfg, 'wl_caps', ()) or ())}",
